@@ -1,0 +1,110 @@
+"""Canonicalization: connected components over alias edges.
+
+The reference dedups entities transactionally — Neo4j ``MERGE`` collapses
+equal keys at write time, and cross-codelist equivalence is a ``SAME_AS``
+edge (model_managers/model_manager.py:941-976; load_df merge semantics at
+derivation_method/action.py:1667-1682).  A distributed engine has no
+cross-batch transactional MERGE, so equivalence closure is computed as
+**connected components** over the alias-edge DataFrame and every member is
+rewritten to its component's canonical representative (the minimum id).
+
+Algorithm: iterative hash-min label propagation —
+``comp(v) <- min(comp(v), min over neighbors comp(u))`` to fixpoint.
+Each round is one shuffle (groupBy on vertex); lineage is truncated with
+``localCheckpoint`` every ``checkpoint_every`` rounds so 50-round runs do
+not accumulate a 50-deep plan (the same reason the reference caps its
+SUBCLASS_OF traversal at depth 50, model_manager.py:25).  Rounds needed =
+graph diameter, which for alias/SAME_AS graphs is tiny (star-shaped
+synonym clusters); the loop is still written for the general case —
+convergence is detected with an aggregate, not assumed.
+
+Skew note: a giant component (head entity with thousands of aliases)
+concentrates on one reducer in the groupBy. ``salt_partitions`` pre-splits
+the min-reduce into a two-level aggregation (partial min per salt, then
+global min) — Spark's partial aggregation already does this for ``min``,
+which is why hash-min (an algebraic aggregate) is the right primitive at
+scale, vs. collecting neighbor lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Return ``(id, component)`` — component = min member id (any orderable
+    type; strings give the lexicographically-first surface form).
+
+    Works on undirected semantics regardless of edge direction in input.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    # symmetrize once; dedup to keep rounds minimal
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for i in range(max_iter):
+        # candidate label for v = min component among v and its neighbors
+        neighbor_min = (
+            sym.join(labels, sym.u == labels.id, "inner")
+            .select(F.col("v").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("nmin") < F.col("component")).alias("_changed"),
+            )
+        )
+        # eager checkpoint every round: it doubles as the convergence action
+        # (the change-count below would otherwise re-run the whole lineage)
+        # and truncates the iterative plan. checkpoint_every applies to the
+        # reliable-checkpoint (HDFS) variant on a real cluster, where
+        # truncation is amortized instead.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map(same_as: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """``(surface, canonical)`` for every surface in the SAME_AS graph,
+    including identity rows for the representatives themselves."""
+    comp = connected_components(same_as, src=a, dst=b)
+    return comp.select(F.col("id").alias("surface"), F.col("component").alias("canonical"))
+
+
+def apply_canonical(
+    df: DataFrame, mapping: DataFrame, col: str, out_col: str | None = None
+) -> DataFrame:
+    """Rewrite ``col`` through the canonical map (broadcast — the map is
+    metadata-scale); unmapped values canonicalize to themselves."""
+    out_col = out_col or col
+    m = F.broadcast(mapping.withColumnRenamed("surface", "__s").withColumnRenamed("canonical", "__c"))
+    return (
+        df.join(m, df[col] == m["__s"], "left")
+        .withColumn(out_col, F.coalesce(F.col("__c"), F.col(col)))
+        .drop("__s", "__c")
+    )

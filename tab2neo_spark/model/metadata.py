@@ -1,0 +1,199 @@
+"""Metadata model: Class / Relationship / Term catalog (ModelManager analog).
+
+The reference stores the schema *as graph data* — Class nodes, reified
+Relationship nodes ``(:Class)<-[:FROM]-(:Relationship)-[:TO]->(:Class)``,
+SUBCLASS_OF hierarchy (depth<=50), Term nodes
+(model_managers/model_manager.py:48-315, 742-819).  Here the catalog is a
+plain in-memory model held on the driver and broadcast into joins — it is
+metadata-scale (thousands of rows at most), so driver-side planning over it
+is the right distribution strategy (same conclusion as SURVEY §2.11).
+
+Implements the ModelManager surface the query/refactor layers need:
+  - create/delete class, relationship, subclass (model_manager.py:48-394)
+  - SUBCLASS_OF transitive closure (the ``*0..50`` Cypher patterns,
+    model_manager.py:487-543) — precomputed once, iterative to fixpoint
+  - gen_default_reltype: default rel type = TO-class label
+    (model_manager.py:33-37)
+  - infer_rels: for a set of labels, pick the connecting relationship per
+    pair, preferring child-side (subclass) matches then first-by-order —
+    (model_manager.py:549-625)
+  - translate_to_shortlabel (model_manager.py:627-697)
+  - create_model_from_data: trivial star schema from a table's columns
+    (model_manager.py:1245-1289)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+MAX_SUBCLASS_DEPTH = 50  # reference: model_manager.py:25
+
+
+@dataclass(frozen=True)
+class ClassSpec:
+    label: str
+    short_label: str | None = None
+    data_type: str | None = None
+    derived: bool = False
+    create: bool = False  # create-mode: duplicates must NOT merge
+
+
+@dataclass(frozen=True)
+class RelSpec:
+    from_label: str
+    to_label: str
+    relationship_type: str
+    optional: bool = False
+
+
+@dataclass(frozen=True)
+class TermSpec:
+    class_label: str
+    codelist_code: str
+    term_code: str
+    rdfs_label: str
+    order: int | None = None
+
+
+@dataclass
+class MetadataModel:
+    classes: dict[str, ClassSpec] = field(default_factory=dict)
+    relationships: list[RelSpec] = field(default_factory=list)
+    subclass_of: list[tuple[str, str]] = field(default_factory=list)  # (child, parent)
+    terms: list[TermSpec] = field(default_factory=list)
+    same_as: list[tuple[str, str]] = field(default_factory=list)
+
+    # -- DDL surface (model_manager.py:48-394) ------------------------------
+
+    def create_class(self, label: str, **kw) -> ClassSpec:
+        spec = ClassSpec(label=label, **kw)
+        self.classes.setdefault(label, spec)
+        return self.classes[label]
+
+    def delete_class(self, label: str) -> None:
+        self.classes.pop(label, None)
+        self.relationships = [
+            r for r in self.relationships if label not in (r.from_label, r.to_label)
+        ]
+        self.subclass_of = [p for p in self.subclass_of if label not in p]
+
+    def create_relationship(
+        self, from_label: str, to_label: str, relationship_type: str | None = None
+    ) -> RelSpec:
+        # default rel type = TO-class label (model_manager.py:33-37)
+        rel = RelSpec(from_label, to_label, relationship_type or to_label)
+        if rel not in self.relationships:
+            self.relationships.append(rel)
+        return rel
+
+    def create_related_classes_from_list(
+        self, rel_list: list[list[str]]
+    ) -> list[str]:
+        """[[from, to, type], ...] -> classes + rels (model_manager.py:182-218)."""
+        out = []
+        for frm, to, typ in rel_list:
+            self.create_class(frm)
+            self.create_class(to)
+            self.create_relationship(frm, to, typ)
+            out.extend([frm, to])
+        return sorted(set(out))
+
+    def create_subclass(self, parent: str, child: str) -> None:
+        self.create_class(parent)
+        self.create_class(child)
+        if (child, parent) not in self.subclass_of:
+            self.subclass_of.append((child, parent))
+
+    def add_term(self, term: TermSpec) -> None:
+        self.terms.append(term)
+
+    # -- closure & inference -------------------------------------------------
+
+    def subclass_closure(self) -> set[tuple[str, str, int]]:
+        """Transitive (child, ancestor, depth), depth<=50, incl. depth 0
+        self-pairs — replaces the Cypher ``*0..50`` traversals."""
+        closure: set[tuple[str, str, int]] = {(c, c, 0) for c in self.classes}
+        frontier = {(c, p, 1) for c, p in self.subclass_of}
+        parents: dict[str, list[str]] = {}
+        for c, p in self.subclass_of:
+            parents.setdefault(c, []).append(p)
+        while frontier:
+            closure |= frontier
+            nxt = set()
+            for child, anc, d in frontier:
+                if d >= MAX_SUBCLASS_DEPTH:
+                    continue
+                for p in parents.get(anc, []):
+                    t = (child, p, d + 1)
+                    if t not in closure:
+                        nxt.add(t)
+            frontier = nxt
+        return closure
+
+    def infer_rels(self, labels: list[str]) -> list[RelSpec]:
+        """For each ordered label pair, find a connecting relationship
+        through the subclass closure; prefer exact-label matches, then
+        child-side subclass paths, then list order (model_manager.py:549-625)."""
+        anc: dict[str, set[str]] = {}
+        for child, a, _ in self.subclass_closure():
+            anc.setdefault(child, set()).add(a)
+        found: list[RelSpec] = []
+        for i, a in enumerate(labels):
+            for b in labels[i + 1 :]:
+                candidates: list[tuple[int, int, RelSpec]] = []
+                for order, r in enumerate(self.relationships):
+                    for frm, to in ((a, b), (b, a)):
+                        if r.from_label in anc.get(frm, {frm}) and r.to_label in anc.get(
+                            to, {to}
+                        ):
+                            exact = 0 if (r.from_label == frm and r.to_label == to) else 1
+                            candidates.append((exact, order, r))
+                if candidates:
+                    candidates.sort(key=lambda t: (t[0], t[1]))
+                    found.append(candidates[0][2])
+        return found
+
+    def translate_to_shortlabel(self, labels: list[str]) -> list[str]:
+        return [
+            (self.classes[lb].short_label or lb) if lb in self.classes else lb
+            for lb in labels
+        ]
+
+    # -- schema-from-data (model_manager.py:1245-1289) -----------------------
+
+    @classmethod
+    def from_data(cls, df: DataFrame, table_class: str) -> "MetadataModel":
+        """Trivial star schema: one class for the table, one per column,
+        a default relationship table->column-class per column."""
+        m = cls()
+        m.create_class(table_class)
+        for c in df.columns:
+            m.create_class(c)
+            m.create_relationship(table_class, c)
+        return m
+
+    # -- DataFrame views (broadcast into joins) ------------------------------
+
+    def classes_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (c.label, c.short_label, c.data_type, c.derived, c.create)
+            for c in self.classes.values()
+        ]
+        return spark.createDataFrame(
+            rows, "label string, short_label string, data_type string, derived boolean, create boolean"
+        )
+
+    def relationships_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(r.from_label, r.to_label, r.relationship_type, r.optional) for r in self.relationships]
+        return spark.createDataFrame(
+            rows, "from_label string, to_label string, relationship_type string, optional boolean"
+        )
+
+    def terms_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(t.class_label, t.codelist_code, t.term_code, t.rdfs_label, t.order) for t in self.terms]
+        return spark.createDataFrame(
+            rows,
+            "class_label string, codelist_code string, term_code string, rdfs_label string, order int",
+        )

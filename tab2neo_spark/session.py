@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Local-mode defaults mirror what we would set fleet-wide on a real
+multi-executor cluster: AQE on (runtime re-plan + skew-join splitting),
+Arrow on (every Python island is a vectorized pandas/Arrow UDF — the
+engine has no per-row Python UDFs), UTC session timezone (oracle
+comparisons), and shuffle partitions sized to cores rather than the
+200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tab2neo_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` may be an int (-> ``local[n]``), ``"*"`` or None
+    (-> ``local[*]`` / $SPARK_GRAFT_CPUS when set).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    ncores = os.cpu_count() or 8 if cores in ("*", None) else int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, ncores)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # ~cores, not 200: local shuffles are driver-disk bound; on a real
+        # cluster this is overridden per-job by AQE coalescing anyway.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # skew from head entities / hot domains (north rule): let AQE split
+        # oversized post-shuffle partitions in joins.
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

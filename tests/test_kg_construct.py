@@ -1,0 +1,95 @@
+"""End-to-end KG construction vs the pandas oracle (BASELINE: P/R >= 0.95;
+exact equality asserted at small scale, cf. FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tab2neo_spark.datagen import pages_from_documents
+from tab2neo_spark.kg.canon import canonical_map, connected_components
+from tab2neo_spark.kg.construct import construct_kg
+from tab2neo_spark.kg.oracle import canonical_lookup, oracle_triples, precision_recall
+
+
+def test_connected_components_basic(spark):
+    # two components: chain a-b-c-d and pair x-y; singleton via self-edge z-z
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"), ("z", "z")], "src string, dst string"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"), ("z", "z"),
+    }
+
+
+def test_canonical_map_matches_union_find(spark):
+    from tab2neo_spark.model.gazetteer import same_as_df
+
+    cm = {r["surface"]: r["canonical"] for r in canonical_map(same_as_df(spark)).collect()}
+    assert cm == canonical_lookup()
+
+
+def test_kg_triples_exact_vs_oracle(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir).limit(200).cache()
+    kg = construct_kg(spark, pages)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in kg.triples.collect()}
+    pdf = pages.select("url", "html").toPandas()
+    pdf["html"] = pdf["html"].map(bytes)
+    expected = oracle_triples(pdf)
+    p, r = precision_recall(got, expected)
+    # small scale: exact agreement, far above the 0.95 gate
+    assert (p, r) == (1.0, 1.0), (p, r, len(got), len(expected))
+    pages.unpersist()
+
+
+def test_kg_nodes_and_edges_consistency(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir).limit(100)
+    kg = construct_kg(spark, pages)
+    nodes = kg.nodes.cache()
+    # deterministic ids: node_id == xxhash64(class, rdfs_label) and unique
+    n = nodes.count()
+    assert nodes.select("node_id").distinct().count() == n
+    recomputed = nodes.filter(
+        F.xxhash64("class", "rdfs_label") != F.col("node_id")
+    ).count()
+    assert recomputed == 0
+    # referential integrity: every edge endpoint is a node
+    ids = nodes.select("node_id")
+    dangling = (
+        kg.edges.join(ids, kg.edges.src == ids.node_id, "left_anti").count()
+        + kg.edges.join(ids, kg.edges.dst == ids.node_id, "left_anti").count()
+    )
+    assert dangling == 0
+    nodes.unpersist()
+
+
+def test_kg_duplicate_url_single_page_node(spark):
+    """A url crawled twice (FIXTURES.md §5) yields one Page node; null/empty/
+    malformed html must not break the pipeline."""
+    import datetime
+
+    from tab2neo_spark.schema import PAGES_SCHEMA
+
+    rows = [
+        ("https://a/1", datetime.datetime(2024, 1, 1), None, None, "en"),
+        ("https://a/2", datetime.datetime(2024, 1, 1), b"", None, "en"),
+        ("https://a/3", datetime.datetime(2024, 1, 1), b"<p>\xff spark join</p>", None, "en"),
+        ("https://a/3", datetime.datetime(2024, 1, 2), b"<p>spark merge</p>", None, "en"),
+    ]
+    kg = construct_kg(spark, spark.createDataFrame(rows, PAGES_SCHEMA))
+    nodes = kg.nodes.cache()
+    assert nodes.count() == nodes.select("node_id").distinct().count() == 6
+    nodes.unpersist()
+
+
+def test_kg_idempotent_rerun(spark, sf_dir):
+    """Re-running construction yields the identical graph (deterministic ids
+    replace Neo4j MERGE idempotency — SURVEY §7 'MERGE without transactions')."""
+    pages = pages_from_documents(spark, sf_dir).limit(100)
+    t1 = {(r["subj"], r["pred"], r["obj"]) for r in construct_kg(spark, pages).triples.collect()}
+    t2 = {(r["subj"], r["pred"], r["obj"]) for r in construct_kg(spark, pages).triples.collect()}
+    assert t1 == t2 and len(t1) > 0
