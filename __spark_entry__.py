@@ -1,38 +1,815 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship KG-construction query at sf0.001.
+``queries()``         — one callable per implemented operator (SURVEY §2).
+``oracle_sql()``      — DuckDB-equivalent SQL per query key.
+
+Column names are aliased identically on both sides; float aggregates are
+rounded identically on both sides (the driver hash-compares values).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF1 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction (extract -> mentions -> canonicalize ->
+    triples) over pages synthesized from the sf0.001 documents table."""
+    from tab2neo_spark.datagen import pages_from_documents
+    from tab2neo_spark.kg.construct import construct_kg
+
+    pages = pages_from_documents(spark, SF1)
+    return construct_kg(spark, pages, unique_urls=True).triples
+
+
+# ---------------------------------------------------------------------------
+# queries — KG construction family
+# ---------------------------------------------------------------------------
+
+
+def q_kg_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.datagen import pages_from_documents
+    from tab2neo_spark.extract.html import extract_text_udf
+
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select("url", extract_text_udf(F.col("html")).alias("extracted"))
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.extract.mentions import detect_mentions
+    from tab2neo_spark.model.gazetteer import gazetteer_df
+
+    docs = _t(spark, sf_dir, "documents")
+    m = detect_mentions(docs, gazetteer_df(spark), text_col="text", id_col="doc_id")
+    return m.groupBy("class", "surface").agg(F.count("*").alias("n_mentions"))
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.datagen import pages_from_documents
+    from tab2neo_spark.kg.construct import construct_kg
+
+    pages = pages_from_documents(spark, sf_dir)
+    return construct_kg(spark, pages, unique_urls=True).triples
+
+
+def q_kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.kg.canon import canonical_map
+    from tab2neo_spark.model.gazetteer import same_as_df
+
+    return canonical_map(same_as_df(spark))
+
+
+def q_kg_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages-per-entity degree — readback over the constructed graph."""
+    from tab2neo_spark.datagen import pages_from_documents
+    from tab2neo_spark.kg.construct import construct_kg
+
+    kg = construct_kg(spark, pages_from_documents(spark, sf_dir), unique_urls=True)
+    return (
+        kg.triples.filter(F.col("pred") == "MENTIONS")
+        .groupBy("obj")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _kg_provider(spark: SparkSession, sf_dir: str):
+    from tab2neo_spark.datagen import pages_from_documents
+    from tab2neo_spark.kg.construct import construct_kg
+    from tab2neo_spark.model.gazetteer import webtext_model
+    from tab2neo_spark.provider import DataProvider
+
+    kg = construct_kg(spark, pages_from_documents(spark, sf_dir), unique_urls=True)
+    return DataProvider(spark, webtext_model(), kg.nodes, kg.edges)
+
+
+def q_kg_readback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_data(['Page','Operator'], where 'join') — inferred rel + filter."""
+    dp = _kg_provider(spark, sf_dir)
+    return dp.get_data(["Page", "Operator"], where_map={"Operator": {"rdfs:label": "join"}})
+
+
+def q_kg_readback_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """optional class '**' -> left join: pages with/without an Engine mention."""
+    dp = _kg_provider(spark, sf_dir)
+    return dp.get_data(["Page", "Engine**"])
+
+
+def q_kg_readback_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dp = _kg_provider(spark, sf_dir)
+    return dp.get_data(
+        ["Operator"], where_rel_map={"Operator": {"EXISTS": {"include": ["Page"]}}}
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — predicate compiler (P1/P2)
+# ---------------------------------------------------------------------------
+
+
+def q_where_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.predicates import apply_where_map
+
+    cust = _t(spark, sf_dir, "customer")
+    return apply_where_map(
+        cust,
+        {
+            "c_acctbal": {"min": 0.0, "max": 5000.0, "max_include": False, "incl_null": False},
+            "c_mktsegment": ["BUILDING", "MACHINERY"],
+            "c_nationkey": {"not_in": [0, 1, 2]},
+        },
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey")
+
+
+def q_where_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.predicates import apply_rel_condition
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return apply_rel_condition(cust, "c_custkey", orders, "o_custkey", exists=True).select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_where_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.predicates import apply_rel_condition
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return apply_rel_condition(cust, "c_custkey", orders, "o_custkey", exists=False).select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — joins (J1/J2/J6)
+# ---------------------------------------------------------------------------
+
+
+def q_join_nway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_join_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").select("r_name")
+    status = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status)
+
+
+# ---------------------------------------------------------------------------
+# queries — aggregation / stats (A1-A7)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.stats import group_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = group_stats(li, ["l_returnflag", "l_linestatus"], "l_quantity", ["n", "sum", "mean", "min", "max"])
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n_l_quantity").alias("n_qty"),
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("mean_l_quantity", 4).alias("avg_qty"),
+        F.col("min_l_quantity").alias("min_qty"),
+        F.col("max_l_quantity").alias("max_qty"),
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.stats import dimension_combination_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    out = dimension_combination_stats(
+        orders, required=["o_orderstatus"], optional=["o_orderpriority"], value_col="o_orderkey", stats=["n"]
+    )
+    return out.select("o_orderstatus", "o_orderpriority", F.col("n_o_orderkey").alias("n_orders"))
+
+
+def q_agg_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.stats import percentage_of_total
+
+    orders = _t(spark, sf_dir, "orders")
+    return percentage_of_total(
+        orders,
+        dims=["o_orderstatus", "o_orderpriority"],
+        denominator_dims=["o_orderstatus"],
+        value_col="o_orderkey",
+        dp=2,
+    )
+
+
+def q_pack_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.packing import pack_values
+
+    cust = _t(spark, sf_dir, "customer")
+    packed = pack_values(cust, ["c_nationkey"], "c_mktsegment", out_col="segs")
+    return packed.select("c_nationkey", F.array_join("segs", "|").alias("segments"))
+
+
+def q_window_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+    )
+
+
+def q_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-ordering pattern (A7): rank + NEXT chain via lead."""
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_name")
+    return nation.select(
+        "n_regionkey",
+        "n_name",
+        F.row_number().over(w).alias("ord"),
+        F.lead("n_name").over(w).alias("next_name"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond-exact gap (unix_timestamp would truncate to seconds and
+    # disagree with the oracle at 1800.x-second boundaries)
+    ts = F.col("ts").cast("timestamp")  # parquet gives TIMESTAMP_NTZ; session tz is UTC
+    gap = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    with_new = events.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    return with_new.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", k=1, threshold=0.8)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id", k=1, num_hashes=8, bands=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id", bits=16)
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [1.0] + [0.0] * 63
+    return cosine_topk(emb, "embedding", "vec_id", query, k=20, dp=4)
+
+
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [1.0] + [0.0] * 63
+    return cosine_topk_lsh(emb, "embedding", "vec_id", query, k=20, bucket_bits=4, dp=4)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.textstats import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return detect_language(docs, "text").select("doc_id", "lang_pred")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs, "text").select("doc_id", "q_len", "q_alpha", "q_stop", "q_wlen", "quality")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_count(docs, "text").select("doc_id", "n_tokens")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: size + content hash of an encoded
+    payload (the decode stage itself is stubbed — see operators/multimodal)."""
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — scalar functions / misc (S7, D8, json)
+# ---------------------------------------------------------------------------
+
+
+def q_sas_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAS epoch integer -> date (S7 semantics, file_data_loader.py:338-379)."""
+    orders = _t(spark, sf_dir, "orders")
+    days = (F.col("o_orderkey") % 20000).cast("int")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(F.lit("1960-01-01").cast("date"), days).alias("sas_date"),
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def q_build_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.schema import node_uri
+
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        node_uri("Customer", F.col("c_custkey").cast("string")).alias("uri"),
+    )
+
+
+def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag").distinct()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_extract_text": q_kg_extract_text,
+        "kg_mentions": q_kg_mentions,
+        "kg_triples": q_kg_triples,
+        "kg_canonical_map": q_kg_canonical_map,
+        "kg_entity_degree": q_kg_entity_degree,
+        "kg_readback_join": q_kg_readback_join,
+        "kg_readback_optional": q_kg_readback_optional,
+        "kg_readback_exists": q_kg_readback_exists,
+        "where_range": q_where_range,
+        "where_exists": q_where_exists,
+        "where_not_exists": q_where_not_exists,
+        "join_nway": q_join_nway,
+        "join_optional": q_join_optional,
+        "cross_join": q_cross_join,
+        "agg_stats": q_agg_stats,
+        "agg_grouping_sets": q_agg_grouping_sets,
+        "agg_percentage": q_agg_percentage,
+        "pack_values": q_pack_values,
+        "window_top1": q_window_top1,
+        "window_chain": q_window_chain,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "embed_topk": q_embed_topk,
+        "embed_ann_lsh": q_embed_ann_lsh,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "sas_dates": q_sas_dates,
+        "json_props": q_json_props,
+        "build_uri": q_build_uri,
+        "distinct_values": q_distinct_values,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB ANSI SQL over the same parquet views)
+# ---------------------------------------------------------------------------
+
+
+def _gaz_values() -> str:
+    from tab2neo_spark.model.gazetteer import gazetteer_sql_values
+
+    return gazetteer_sql_values()
+
+
+def _same_as_values() -> str:
+    from tab2neo_spark.model.gazetteer import same_as_sql_values
+
+    return same_as_sql_values().replace("AS t(", "AS s(")
+
+
+def _canon_values() -> str:
+    from tab2neo_spark.kg.oracle import canonical_lookup
+
+    rows = ", ".join(f"('{s}', '{c}')" for s, c in sorted(canonical_lookup().items()))
+    return f"(VALUES {rows}) AS t(surface, canonical)"
+
+
+_QVEC = ", ".join(["1.0"] + ["0.0"] * 63)
+_URL = "'https://' || source || '.example.com/doc/' || doc_id"
+_TITLE = "'doc ' || doc_id"
+_EXTRACTED = (
+    "trim(regexp_replace("
+    f"{_TITLE} || ' home · about ' || {_TITLE} || ' ' || text || ' © example'"
+    ", '\\s+', ' ', 'g'))"
+)
+_TOKS = (
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w "
+    "FROM documents"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    gaz = _gaz_values()
+    canon = _canon_values()
+    mentions_cte = f"""
+        WITH toks AS ({_TOKS}),
+        m AS (
+            SELECT t.doc_id, g.class, g.surface,
+                   coalesce(c.canonical, g.surface) AS canon
+            FROM toks t
+            JOIN {gaz.replace('AS t(', 'AS g(')} ON t.w = g.surface
+            LEFT JOIN {canon.replace('AS t(', 'AS c(')} ON g.surface = c.surface
+            WHERE t.w <> ''
+        )
     """
-    return {}
+    return {
+        "kg_extract_text": f"SELECT {_URL} AS url, {_EXTRACTED} AS extracted FROM documents",
+        "kg_mentions": f"""
+            WITH toks AS ({_TOKS})
+            SELECT g.class, g.surface, count(*) AS n_mentions
+            FROM toks t JOIN {gaz.replace('AS t(', 'AS g(')} ON t.w = g.surface
+            WHERE t.w <> ''
+            GROUP BY g.class, g.surface
+        """,
+        "kg_triples": f"""
+            {mentions_cte}
+            SELECT DISTINCT {_URL} AS subj, 'MENTIONS' AS pred,
+                   m.class || ':' || m.canon AS obj
+            FROM m JOIN documents USING (doc_id)
+            UNION
+            SELECT DISTINCT m.class || ':' || m.canon, 'IS_A', m.class FROM m
+        """,
+        "kg_canonical_map": f"""
+            WITH RECURSIVE sa AS (
+                SELECT a, b FROM {_same_as_values()}
+            ),
+            e AS (SELECT a AS u, b AS v FROM sa UNION SELECT b, a FROM sa),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT u FROM e UNION SELECT v FROM e)
+                UNION
+                SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u
+            )
+            SELECT u AS surface, min(v) AS canonical FROM reach GROUP BY u
+        """,
+        "kg_entity_degree": f"""
+            {mentions_cte}
+            SELECT obj, count(*) AS n_pages FROM (
+                SELECT DISTINCT {_URL} AS subj, m.class || ':' || m.canon AS obj
+                FROM m JOIN documents USING (doc_id)
+            ) GROUP BY obj
+        """,
+        "kg_readback_join": f"""
+            {mentions_cte}
+            SELECT DISTINCT {_URL} AS "Page", m.canon AS "Operator"
+            FROM m JOIN documents USING (doc_id)
+            WHERE m.class = 'Operator' AND m.canon = 'join'
+        """,
+        "kg_readback_optional": f"""
+            {mentions_cte}
+            SELECT p."Page", e.canon AS "Engine" FROM
+                (SELECT DISTINCT {_URL} AS "Page", doc_id FROM documents) p
+            LEFT JOIN
+                (SELECT DISTINCT doc_id, canon FROM m WHERE class = 'Engine') e
+            USING (doc_id)
+        """,
+        "kg_readback_exists": f"""
+            {mentions_cte}
+            SELECT DISTINCT m.canon AS "Operator" FROM m WHERE m.class = 'Operator'
+        """,
+        "where_range": """
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey
+            FROM customer
+            WHERE c_acctbal >= 0.0 AND c_acctbal < 5000.0
+              AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+              AND c_nationkey NOT IN (0, 1, 2)
+        """,
+        "where_exists": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        """,
+        "where_not_exists": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "join_nway": """
+            SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "join_optional": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "cross_join": """
+            SELECT r_name, o_orderstatus
+            FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        """,
+        "agg_stats": """
+            SELECT l_returnflag, l_linestatus,
+                   count(l_quantity) AS n_qty,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "agg_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, count(o_orderkey) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority))
+        """,
+        "agg_percentage": """
+            WITH num AS (
+                SELECT o_orderstatus, o_orderpriority, count(o_orderkey) AS n
+                FROM orders GROUP BY o_orderstatus, o_orderpriority
+            )
+            SELECT o_orderstatus, o_orderpriority,
+                   round(n * 100.0 / sum(n) OVER (PARTITION BY o_orderstatus), 2) AS pct
+            FROM num
+        """,
+        "pack_values": """
+            SELECT c_nationkey,
+                   array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments
+            FROM customer GROUP BY c_nationkey
+        """,
+        "window_top1": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "window_chain": """
+            SELECT n_regionkey, n_name,
+                   row_number() OVER w AS ord,
+                   lead(n_name) OVER w AS next_name
+            FROM nation
+            WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name)
+        """,
+        "sessionize": """
+            SELECT user_id, sum(new_sess) AS n_sessions FROM (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ) GROUP BY user_id
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_jaccard": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, w AS shingle
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b,
+                   round(common * 1.0 / (na.n + nb.n - common), 6) AS jaccard
+            FROM common
+            JOIN sizes na ON na.doc_id = a
+            JOIN sizes nb ON nb.doc_id = b
+            WHERE common * 1.0 / (na.n + nb.n - common) >= 0.8
+        """,
+        "dedup_minhash": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, w AS shingle
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            seeds AS (SELECT unnest(range(8)) AS seed),
+            sig AS (
+                SELECT doc_id, seed, min(md5(shingle || '#' || seed)) AS minhash
+                FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+            ),
+            banded AS (
+                SELECT doc_id, (seed // 2)::INT AS band,
+                       md5(string_agg(minhash, '|' ORDER BY seed, minhash)) AS band_val
+                FROM sig GROUP BY doc_id, (seed // 2)::INT
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+        """,
+        "simhash": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+                    FROM documents) WHERE w <> ''
+            ),
+            h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
+            votes AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h CROSS JOIN (SELECT unnest(range(16)) AS bit) b
+                GROUP BY doc_id, b.bit
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "embed_topk": f"""
+            SELECT vec_id,
+                   floor(list_cosine_similarity(embedding::DOUBLE[],
+                       [{_QVEC}]) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id LIMIT 20
+        """,
+        # query vector = [1,0,...]: all 4 sign bits are >=0, so the query
+        # bucket requires the first 4 dims non-negative
+        "embed_ann_lsh": f"""
+            SELECT vec_id,
+                   floor(list_cosine_similarity(embedding::DOUBLE[],
+                       [{_QVEC}]) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+            FROM embeddings
+            WHERE embedding[1] >= 0 AND embedding[2] >= 0
+              AND embedding[3] >= 0 AND embedding[4] >= 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 20
+        """,
+        "lang_id": """
+            WITH scored AS (
+                SELECT doc_id,
+                    len(list_intersect(ws, ['the','and','of','to','a','in','is'])) AS s_en,
+                    len(list_intersect(ws, ['der','die','das','und','nicht','ist'])) AS s_de,
+                    len(list_intersect(ws, ['le','la','les','et','est','une'])) AS s_fr,
+                    len(list_intersect(ws, ['el','la','los','que','es','una'])) AS s_es
+                FROM (SELECT doc_id,
+                             list_distinct(list_filter(
+                                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '')) AS ws
+                      FROM documents)
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                     WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                     WHEN s_es > 0 THEN 'es'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM scored
+        """,
+        "quality": """
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            comp AS (
+                SELECT doc_id,
+                    CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0
+                         WHEN n_chars > 0 THEN 0.5 ELSE 0.0 END AS q_len,
+                    floor((CASE WHEN n_chars > 0 THEN alpha_chars * 1.0 / n_chars ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS q_alpha,
+                    floor(least(1.0, len(list_intersect(list_distinct(ws),
+                        ['the','and','of','to','a','in','is',
+                         'der','die','das','und','nicht','ist',
+                         'le','la','les','et','est','une',
+                         'el','la','los','que','es','una'])) / 3.0) * 1000000.0 + 0.5) / 1000000.0 AS q_stop,
+                    CASE WHEN len(ws) > 0
+                              AND alpha_chars * 1.0 / len(ws) >= 3
+                              AND alpha_chars * 1.0 / len(ws) <= 10
+                         THEN 1.0 ELSE 0.5 END AS q_wlen
+                FROM base
+            )
+            SELECT doc_id, q_len, q_alpha, q_stop, q_wlen,
+                   floor((q_len + q_alpha + q_stop + q_wlen) / 4.0 * 1000000.0 + 0.5) / 1000000.0 AS quality
+            FROM comp
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> ''), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+            FROM documents
+        """,
+        "sas_dates": """
+            SELECT o_orderkey,
+                   (DATE '1960-01-01' + INTERVAL ((o_orderkey % 20000)::INT) DAY)::DATE AS sas_date
+            FROM orders
+        """,
+        "json_props": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "build_uri": """
+            SELECT c_custkey, 'Customer_by/' || c_custkey AS uri FROM customer
+        """,
+        "distinct_values": "SELECT DISTINCT l_returnflag FROM lineitem",
+    }

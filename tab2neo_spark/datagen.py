@@ -44,8 +44,14 @@ def _build_html_udf(url: pd.Series, title: pd.Series, body: pd.Series, lang: pd.
     return pdf.apply(lambda r: build_html(r.url, r.title, r.body, r.lang), axis=1)
 
 
-def _finish_pages(df: DataFrame) -> DataFrame:
-    """Attach url/warc_ts/html to a df with (page_id, domain, title, text, lang)."""
+def _finish_pages(df: DataFrame, native_html: bool = True) -> DataFrame:
+    """Attach url/warc_ts/html to a df with (page_id, domain, title, text, lang).
+
+    ``native_html=True`` renders the page template JVM-side
+    (extract.html.build_html_native — byte-identical to the Python builder,
+    asserted in tests); False exercises the Arrow-UDF path."""
+    from tab2neo_spark.extract.html import build_html_native
+
     url = F.concat_ws(
         "", F.lit("https://"), F.col("domain"), F.lit(".example.com/doc/"), F.col("page_id")
     )
@@ -53,12 +59,12 @@ def _finish_pages(df: DataFrame) -> DataFrame:
     warc_ts = F.timestamp_seconds(
         F.lit(1704067200) + F.pmod(F.xxhash64(F.col("page_id")), F.lit(30 * 86400))
     )
-    return (
-        df.withColumn("url", url)
-        .withColumn("warc_ts", warc_ts)
-        .withColumn("html", _build_html_udf(F.col("url"), F.col("title"), F.col("text"), F.col("lang")))
-        .select("url", "warc_ts", "html", "text", "lang")
-    )
+    df = df.withColumn("url", url).withColumn("warc_ts", warc_ts)
+    if native_html:
+        html = build_html_native(F.col("url"), F.col("title"), F.col("text"), F.col("lang"))
+    else:
+        html = _build_html_udf(F.col("url"), F.col("title"), F.col("text"), F.col("lang"))
+    return df.withColumn("html", html).select("url", "warc_ts", "html", "text", "lang")
 
 
 def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:

@@ -6,5 +6,7 @@ from tab2neo_spark.extract.html import (  # noqa: F401
 )
 from tab2neo_spark.extract.mentions import (  # noqa: F401
     detect_mentions,
+    detect_mentions_with_pos,
+    gazetteer_pattern,
     tokenize_words,
 )

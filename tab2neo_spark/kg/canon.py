@@ -89,9 +89,42 @@ def connected_components(
     return labels
 
 
-def canonical_map(same_as: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+def _union_find_driver(pairs: list[tuple]) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def canonical_map(
+    same_as: DataFrame, a: str = "a", b: str = "b", driver_threshold: int = 100_000
+) -> DataFrame:
     """``(surface, canonical)`` for every surface in the SAME_AS graph,
-    including identity rows for the representatives themselves."""
+    including identity rows for the representatives themselves.
+
+    Distribution strategy follows data size, like the reference's
+    driver-side metadata planning (SURVEY §2.11): alias graphs at
+    metadata scale (< ``driver_threshold`` edges) are collected and
+    union-found on the driver — one job instead of a multi-round
+    iterative shuffle whose fixed overhead would dominate; larger graphs
+    go through the distributed hash-min loop."""
+    spark = same_as.sparkSession
+    n = same_as.limit(driver_threshold + 1).count()
+    if n <= driver_threshold:
+        pairs = [(r[a], r[b]) for r in same_as.collect()]
+        mapping = sorted(_union_find_driver(pairs).items())
+        return spark.createDataFrame(mapping, "surface string, canonical string")
     comp = connected_components(same_as, src=a, dst=b)
     return comp.select(F.col("id").alias("surface"), F.col("component").alias("canonical"))
 

@@ -6,7 +6,7 @@ refactor_all`` (model_appliers/model_applier.py:96-135) become one lazy
 DataFrame DAG:
 
   pages ──extract_text (Arrow UDF, narrow)──> text
-        ──tokenize+posexplode (JVM, narrow)──> tokens
+        ──regexp_extract_all(gazetteer alternation) (JVM, narrow)──> hits
         ──⋈ broadcast(gazetteer)──> mentions          (R2: extract_class_entities)
         ──canonicalize via CC(SAME_AS)──> canonical mentions (MERGE replacement)
         ──distinct──> entity nodes (deterministic xxhash64 ids)
@@ -42,10 +42,83 @@ SAME_AS_PRED = "SAME_AS"
 @dataclass
 class KGResult:
     pages: DataFrame
-    mentions: DataFrame       # (url, class, surface, canonical, term_code, pos)
+    mentions: DataFrame       # (url, class, surface, canonical, term_code)
+    mention_pairs: DataFrame  # distinct (url, class, canonical)
     nodes: DataFrame          # NODES_SCHEMA
     edges: DataFrame          # EDGES_SCHEMA
     triples: DataFrame        # TRIPLES_SCHEMA
+    _persisted: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self._persisted is not None:
+            self._persisted.unpersist()
+
+
+@dataclass
+class KGMetadata:
+    """Collected metadata for the construction pipeline.
+
+    Computing this costs a handful of tiny Spark jobs (gazetteer collect +
+    canonical-map union-find); it is immutable per gazetteer version, so
+    batch/streaming drivers compute it ONCE and pass it to every
+    ``construct_kg`` call — per-batch driver overhead must not scale with
+    invocation count (it is the serial term in the scaling law).
+    """
+
+    gaz_rows: list  # [(class, surface, term_code)]
+    canon_lookup: dict  # surface -> canonical
+
+
+def collect_metadata(gaz: DataFrame, same_as: DataFrame) -> KGMetadata:
+    canon = canonical_map(same_as)
+    return KGMetadata(
+        gaz_rows=[(r["class"], r["surface"], r["term_code"]) for r in gaz.collect()],
+        canon_lookup={r["surface"]: r["canonical"] for r in canon.collect()},
+    )
+
+
+def _page_keys_narrow(pages: DataFrame, meta: KGMetadata) -> DataFrame | None:
+    """Per-page deduped mention keys ``(url, cks: array<string>)`` with no
+    shuffle, or None if the gazetteer needs the generic join path.
+
+    The gazetteer and canonical map are metadata-scale: both are collected
+    and compiled into ONE literal map surface -> 'class<SEP>canonical'
+    applied inside a per-row array pipeline:
+
+        regexp_extract_all -> array_distinct -> transform(map lookup)
+        -> array_distinct
+
+    Per-page dedup inside the array IS global dedup when urls are unique.
+    Keeping the relation page-granular (1 row/page, small array) makes it
+    the cheapest thing to persist — ~10-30x fewer rows than the exploded
+    pairs."""
+    from tab2neo_spark.extract.mentions import _PLAIN_TOKEN, gazetteer_pattern
+
+    sep = "\x01"
+    surfaces = sorted({s for _, s, _ in meta.gaz_rows})
+    if not surfaces or not all(_PLAIN_TOKEN.match(s) for s in surfaces):
+        return None
+
+    lookup = {}
+    for cls, surface, _ in meta.gaz_rows:
+        lookup[surface] = f"{cls}{sep}{meta.canon_lookup.get(surface, surface)}"
+    map_args = []
+    for k, v in sorted(lookup.items()):
+        map_args += [F.lit(k), F.lit(v)]
+    surface_map = F.create_map(*map_args)
+
+    pat = gazetteer_pattern(surfaces)
+    hits = F.array_distinct(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 1))
+    keys = F.array_distinct(F.transform(hits, lambda w: surface_map[w]))
+    return pages.select("url", keys.alias("cks"))
+
+
+def _explode_pairs(page_keys: DataFrame, sep: str = "\x01") -> DataFrame:
+    return page_keys.select("url", F.explode("cks").alias("ck")).select(
+        "url",
+        F.split_part(F.col("ck"), F.lit(sep), F.lit(1)).alias("class"),
+        F.split_part(F.col("ck"), F.lit(sep), F.lit(2)).alias("canonical"),
+    )
 
 
 def construct_kg(
@@ -54,6 +127,9 @@ def construct_kg(
     gazetteer: DataFrame | None = None,
     same_as: DataFrame | None = None,
     use_existing_text: bool = False,
+    persist_intermediate: bool = True,
+    unique_urls: bool = False,
+    metadata: KGMetadata | None = None,
 ) -> KGResult:
     """Run the full construction DAG (lazy — nothing executes until the
     caller materializes).
@@ -61,22 +137,69 @@ def construct_kg(
     ``use_existing_text=False`` (default) extracts text from html bytes —
     the real pipeline; True trusts the ``text`` column (for isolating
     downstream stages in tests).
+
+    ``persist_intermediate`` persists the distinct (url, class, canonical)
+    mention pairs: every output (nodes/edges/triples) derives from that
+    small relation, and without persistence Spark would re-run the
+    expensive scan->extract->match subtree once per output branch (it does
+    not share subtrees across a union). At petabyte scale this persist
+    becomes a checkpoint table write — same shape.
+
+    ``unique_urls=True`` declares the input contract 'one row per url'
+    (the BASELINE input_hint row identity). Because a page lives in exactly
+    one partition, mention-pair dedup is then PER-ROW LOCAL: duplicates are
+    removed inside the per-page hit array before exploding, and the whole
+    pages->triples path is narrow — ZERO shuffles. With False (default) a
+    global ``distinct`` guards against duplicate urls at the cost of one
+    shuffle of the mention pairs. Dedup the crawl once upstream
+    (``pages.dropDuplicates(['url'])``, 1 row/url) instead of paying a
+    per-mention shuffle in every run.
     """
     gaz = gazetteer if gazetteer is not None else gazetteer_df(spark)
     sa = same_as if same_as is not None else same_as_df(spark)
+    if metadata is None:
+        metadata = collect_metadata(gaz, sa)
 
     if not use_existing_text:
         pages = pages.withColumn("text", extract_text_udf(F.col("html")))
 
-    raw_mentions = detect_mentions(pages, gaz, text_col="text", id_col="url")
-
-    # canonicalization: CC over SAME_AS -> rewrite surfaces (MERGE analog)
-    canon = canonical_map(sa)
+    # canonicalization: CC over SAME_AS -> rewrite surfaces (MERGE analog);
+    # the canonical map is already inside metadata — rebuild a DF view of it
+    # lazily for the inspection-grade `mentions` output only.
+    canon = spark.createDataFrame(
+        sorted(metadata.canon_lookup.items()) or [("", "")], "surface string, canonical string"
+    )
+    raw_mentions = detect_mentions(
+        pages, gaz, text_col="text", id_col="url",
+        surfaces=sorted({s for _, s, _ in metadata.gaz_rows}),
+    )
     mentions = apply_canonical(raw_mentions, canon, col="surface", out_col="canonical")
+
+    # the load-bearing intermediate: everything downstream derives from it.
+    # Persist at PAGE granularity (1 row/page + small key array): cheapest
+    # relation that still spares every output branch the scan->extract->
+    # match recompute.
+    from pyspark.storagelevel import StorageLevel
+
+    page_keys = _page_keys_narrow(pages, metadata)
+    persisted = None
+    if page_keys is not None:
+        if persist_intermediate:
+            page_keys = page_keys.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted = page_keys
+        mention_pairs_src = _explode_pairs(page_keys)
+        if not unique_urls:
+            mention_pairs_src = mention_pairs_src.distinct()
+    else:
+        # generic path: arbitrary (non-token) gazetteer surfaces
+        mention_pairs_src = mentions.select("url", "class", "canonical").distinct()
+        if persist_intermediate:
+            mention_pairs_src = mention_pairs_src.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted = mention_pairs_src
 
     # entity nodes: one per (class, canonical surface), deterministic id
     entities = (
-        mentions.select("class", F.col("canonical").alias("rdfs_label"))
+        mention_pairs_src.select("class", F.col("canonical").alias("rdfs_label"))
         .distinct()
         .withColumn("uri", S.node_uri_col(F.col("class"), F.col("rdfs_label")))
         .withColumn("node_id", F.xxhash64("class", "rdfs_label"))
@@ -96,25 +219,22 @@ def construct_kg(
     )
     nodes = page_nodes.unionByName(entities)
 
-    # MENTIONS edges: distinct (page, entity); mention count kept as a triple
-    mention_pairs = mentions.select(
+    # MENTIONS edges: distinct (page, entity)
+    edges = mention_pairs_src.select(
         F.xxhash64(F.lit("Page"), F.col("url")).alias("src"),
         F.lit(MENTIONS).alias("rel_type"),
         F.xxhash64("class", "canonical").alias("dst"),
-    ).distinct()
-    edges = mention_pairs
+    )
 
     # flattened triples: human-readable identity (url / class:surface) so
     # the readback layer and oracles are id-scheme independent
-    t_mentions = (
-        mentions.select(
-            F.col("url").alias("subj"),
-            F.lit(MENTIONS).alias("pred"),
-            F.concat_ws(":", F.col("class"), F.col("canonical")).alias("obj"),
-        ).distinct()
+    t_mentions = mention_pairs_src.select(
+        F.col("url").alias("subj"),
+        F.lit(MENTIONS).alias("pred"),
+        F.concat_ws(":", F.col("class"), F.col("canonical")).alias("obj"),
     )
     t_isa = (
-        mentions.select("class", "canonical")
+        mention_pairs_src.select("class", "canonical")
         .distinct()
         .select(
             F.concat_ws(":", F.col("class"), F.col("canonical")).alias("subj"),
@@ -124,4 +244,12 @@ def construct_kg(
     )
     triples = t_mentions.unionByName(t_isa)
 
-    return KGResult(pages=pages, mentions=mentions, nodes=nodes, edges=edges, triples=triples)
+    return KGResult(
+        pages=pages,
+        mentions=mentions,
+        mention_pairs=mention_pairs_src,
+        nodes=nodes,
+        edges=edges,
+        triples=triples,
+        _persisted=persisted,
+    )

@@ -62,6 +62,24 @@ SAME_AS: list[tuple[str, str]] = [
 ]
 
 
+def webtext_model():
+    """The webtext KG schema as a MetadataModel: Page MENTIONS each entity
+    class; entity classes are SUBCLASS_OF Entity. Mirrors the reference's
+    create_related_classes_from_list flow (model_manager.py:182-218)."""
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    m = MetadataModel()
+    m.create_class("Page", short_label="PG")
+    m.create_class("Entity", short_label="ENT")
+    for cls, short in [
+        ("Engine", "ENG"), ("Operator", "OP"), ("Structure", "ST"), ("Concept", "CN")
+    ]:
+        m.create_class(cls, short_label=short)
+        m.create_relationship("Page", cls, "MENTIONS")
+        m.create_subclass("Entity", cls)
+    return m
+
+
 def gazetteer_df(spark: SparkSession) -> DataFrame:
     """Gazetteer as a (small, broadcastable) DataFrame."""
     return spark.createDataFrame(GAZETTEER, "class string, surface string, term_code string")

@@ -1,0 +1,66 @@
+"""Result-shape operators: packing aggregations + pivot (A1/A2, readback).
+
+The reference's RETURN-clause assembly packs related class values into
+per-row lists or keyed maps via ``collect(distinct ...)`` /
+``apoc.map.fromPairs`` (query_builders/query_builder.py:676-798) and the
+DataProvider pivots dict columns into real columns
+(data_providers/data_provider.py:252-262).  Spark equivalents are
+``collect_set`` / ``map_from_entries`` and ``groupBy().pivot()``.
+
+All list outputs are sorted (``sort_array``) — deterministic results are a
+contract here (oracle hashing), whereas Cypher collect order is incidental.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_values(
+    df: DataFrame, keys: Sequence[str], value_col: str, out_col: str | None = None
+) -> DataFrame:
+    """A1 list-packing: per key group, sorted distinct list of values."""
+    out_col = out_col or f"{value_col}s"
+    return df.groupBy(*keys).agg(
+        F.sort_array(F.collect_set(value_col)).alias(out_col)
+    )
+
+
+def pack_map(
+    df: DataFrame,
+    keys: Sequence[str],
+    map_key_col: str,
+    map_value_col: str,
+    out_col: str = "packed",
+) -> DataFrame:
+    """A1 map-packing: ``apoc.map.fromPairs(collect([k, v]))`` analog."""
+    return df.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_set(F.struct(map_key_col, map_value_col)))
+        ).alias(out_col)
+    )
+
+
+def disjoint_collect(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A2 ``return_disjoint``: one row of per-column sorted distinct value
+    sets (query_builder.py:878-880)."""
+    return df.agg(
+        *[F.sort_array(F.collect_set(c)).alias(f"{c}_values") for c in cols]
+    )
+
+
+def pivot_wide(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    value_col: str,
+    pivot_values: Sequence[str] | None = None,
+) -> DataFrame:
+    """Dict-column expansion analog (data_provider.py:252-262). Passing
+    ``pivot_values`` explicitly skips the extra distinct-scan Spark needs
+    to discover them — always do so at scale."""
+    gb = df.groupBy(*keys).pivot(pivot_col, list(pivot_values) if pivot_values else None)
+    return gb.agg(F.first(value_col))

@@ -1,0 +1,101 @@
+"""where_map / where_rel_map predicate compiler (P1/P2).
+
+The reference compiles ``where_map`` dicts into parameterized Cypher WHERE
+fragments (query_builders/query_builder.py:154-298: ranges :239-273,
+not_in :276-284, in/eq :287-296) and ``where_rel_map`` into existential
+neighborhood subqueries (:300-355).  Here the same dict dialect compiles
+directly into Catalyst ``Column`` expressions and semi/anti joins — so
+predicate pushdown, partition pruning, and codegen come for free.
+
+Dialect (per property):
+- scalar                      -> ``col = value``
+- list                        -> ``col IN (...)``
+- {"not_in": v_or_list}       -> ``NOT col IN (...)``  (null rows drop, as
+                                  in Cypher where NOT(null IN ..) is null)
+- range dict with any of ``min``/``max`` plus ``min_include`` /
+  ``max_include`` (default True) and ``incl_null`` (default False)
+                              -> ``min <=/< col <=/< max [OR col IS NULL]``
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RANGE_KEYS = {"min", "max", "min_include", "max_include", "incl_null"}
+
+
+def _is_range(value: Any) -> bool:
+    return isinstance(value, Mapping) and bool(RANGE_KEYS & set(value)) and (
+        "min" in value or "max" in value
+    )
+
+
+def compile_condition(col: Column, value: Any) -> Column:
+    """One property's condition -> a boolean Column."""
+    if isinstance(value, Mapping) and "not_in" in value:
+        v = value["not_in"]
+        vals = v if isinstance(v, (list, tuple)) else [v]
+        return ~col.isin(list(vals))
+    if _is_range(value):
+        parts: list[Column] = []
+        if "min" in value:
+            lo = F.lit(value["min"])
+            parts.append(col >= lo if value.get("min_include", True) else col > lo)
+        if "max" in value:
+            hi = F.lit(value["max"])
+            parts.append(col <= hi if value.get("max_include", True) else col < hi)
+        cond = parts[0]
+        for p in parts[1:]:
+            cond = cond & p
+        if value.get("incl_null", False):
+            cond = cond | col.isNull()
+        return cond
+    if isinstance(value, (list, tuple, set)):
+        return col.isin(list(value))
+    return col == F.lit(value)
+
+
+def compile_where_map(where_map: Mapping[str, Any] | None) -> Column | None:
+    """``{prop: condition}`` (one class's map) -> conjoined Column.
+
+    The class-level nesting ``{Class: {prop: cond}}`` is resolved by the
+    readback layer, which knows which DataFrame carries which class; this
+    compiles the inner map.
+    """
+    if not where_map:
+        return None
+    cond: Column | None = None
+    for prop, value in where_map.items():
+        c = compile_condition(F.col(prop), value)
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def apply_where_map(df: DataFrame, where_map: Mapping[str, Any] | None) -> DataFrame:
+    cond = compile_where_map(where_map)
+    return df if cond is None else df.filter(cond)
+
+
+# -- where_rel_map: existential neighborhood conditions (P2) -----------------
+
+
+def apply_rel_condition(
+    df: DataFrame,
+    key: str,
+    neighbors: DataFrame,
+    neighbor_key: str,
+    exists: bool = True,
+) -> DataFrame:
+    """``EXISTS`` / ``NOT EXISTS`` a related row (query_builder.py:300-355):
+    semi-join keeps rows with a neighbor, anti-join keeps rows without.
+
+    ``neighbors`` should already be filtered to the rel_type / neighbor
+    class of interest; the join is key-only so Catalyst can pick broadcast
+    when the neighbor side is small.
+    """
+    how = "left_semi" if exists else "left_anti"
+    other = neighbors.select(F.col(neighbor_key).alias("__nk")).distinct()
+    return df.join(other, df[key] == F.col("__nk"), how)

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, both pure DataFrame expressions (``F.zip_with``/``F.aggregate``
+compute dot products JVM-side; no Python in the hot path):
+
+- brute-force cosine top-k: the exact baseline; one narrow pass + a top-k.
+- sign-LSH bucketed ANN: candidates restricted to vectors agreeing with the
+  query on the signs of the first ``b`` dimensions (a deterministic
+  hyperplane family = the coordinate axes). Bucketing is a plain equality
+  predicate, so Catalyst pushes it into the scan — at 100 TB the index is
+  "partition the vector table by sign-prefix"; queries read 1/2^b of data.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    dp: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector.
+
+    Similarity is det_round-ed to ``dp`` BEFORE ranking and ties broken by
+    id, so the top-k set itself is engine-independent (raw-double ordering
+    would make the k-boundary depend on last-ulp noise). orderBy+limit
+    compiles to TakeOrderedAndProject — per-partition top-k then a k-row
+    merge, not a global sort."""
+    from tab2neo_spark.operators.numeric import det_round
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = det_round(cosine(F.col(vec_col).cast("array<double>"), q), dp)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sign_bucket(vec: Column, b: int) -> Column:
+    """Sign-prefix bucket id: bit i = (vec[i] >= 0)."""
+    bucket = F.lit(0)
+    for i in range(b):
+        bucket = bucket + F.when(F.element_at(vec, i + 1) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    bucket_bits: int = 4,
+    dp: int = 6,
+) -> DataFrame:
+    """ANN: exact cosine ranking restricted to the query's sign bucket.
+
+    Approximate by construction (recall < 1 near hyperplanes); the scale
+    path — the bucket predicate prunes ~(1 - 2^-b) of the corpus before
+    any arithmetic. Returns the same schema as :func:`cosine_topk`."""
+    qbucket = 0
+    for i in range(bucket_bits):
+        if float(query[i]) >= 0:
+            qbucket += 2 ** i
+    filtered = df.filter(sign_bucket(F.col(vec_col), bucket_bits) == F.lit(qbucket))
+    return cosine_topk(filtered, vec_col, id_col, query, k, dp)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, blocked by sign bucket.
+
+    All-pairs cosine is O(n^2); sign-bucket blocking makes each bucket's
+    self-join independent (and 2^b× smaller). Near-dups disagreeing in an
+    early-dimension sign are missed — acceptable for near-dup thresholds
+    close to 1 where vectors are nearly identical."""
+    with_b = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bucket_bits).alias("__b")
+    )
+    a = with_b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "__b")
+    b = with_b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "__b")
+    from tab2neo_spark.operators.numeric import det_round
+
+    sim = det_round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6)
+    return (
+        a.join(b, "__b")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+    )

@@ -1,0 +1,99 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+fingerprinting — the per-document scoring pass of a training-data pipeline.
+
+Everything is built-in column expressions (split / regexp / size /
+array_intersect): the whole scoring pass fuses into the document scan with
+zero shuffles and zero Python. The reference has no text analytics; these
+are the webtext-tier additions mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tab2neo_spark.operators.numeric import det_round
+
+# tiny deterministic stopword sets per language — heuristic lang-ID only.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "la", "los", "que", "es", "una"],
+}
+
+WORD_SPLIT = r"[^a-zA-Z0-9]+"
+
+
+def _words(text_col: str) -> Column:
+    w = F.split(F.lower(F.col(text_col)), WORD_SPLIT)
+    return F.filter(w, lambda x: x != "")
+
+
+def token_count(df: DataFrame, text_col: str, out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace/punctuation token count (the BPE-ish regex tokenizer:
+    alnum runs count as tokens; everything else separates)."""
+    return df.withColumn(out_col, F.size(_words(text_col)))
+
+
+def lang_scores(text_col: str) -> dict[str, Column]:
+    """Per-language marker-hit counts over the distinct word set."""
+    words = F.array_distinct(_words(text_col))
+    return {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(
+    df: DataFrame, text_col: str, out_col: str = "lang_pred"
+) -> DataFrame:
+    """Argmax over marker-hit counts; ties and zero-hit -> 'und'.
+
+    Deterministic tiebreak: language order as declared in LANG_MARKERS."""
+    scores = lang_scores(text_col)
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed so the FIRST declared language wins ties
+    for lang in reversed(list(scores)):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def quality_score(
+    df: DataFrame, text_col: str, out_col: str = "quality"
+) -> DataFrame:
+    """Composite [0,1] quality: length band + alpha ratio + stopword ratio +
+    mean word length band. Columns ``q_*`` keep the components inspectable
+    (pipelines filter on components, not just the blend)."""
+    n_chars = F.length(F.col(text_col))
+    words = _words(text_col)
+    n_words = F.size(words)
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    all_stop = F.array(*[F.lit(w) for ws in LANG_MARKERS.values() for w in ws])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), all_stop))
+    mean_wlen = F.when(n_words > 0, alpha_chars / n_words).otherwise(F.lit(0.0))
+    q_len = F.when((n_chars >= 100) & (n_chars <= 10000), 1.0).otherwise(
+        F.when(n_chars > 0, 0.5).otherwise(0.0)
+    )
+    q_alpha = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    q_stop = F.least(F.lit(1.0), n_stop / F.lit(3.0))
+    q_wlen = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.5)
+    return (
+        df.withColumn("q_len", q_len)
+        .withColumn("q_alpha", det_round(q_alpha, 6))
+        .withColumn("q_stop", det_round(q_stop, 6))
+        .withColumn("q_wlen", q_wlen)
+        .withColumn(
+            out_col,
+            det_round((F.col("q_len") + F.col("q_alpha") + F.col("q_stop") + F.col("q_wlen")) / 4.0, 6),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Canonical document fingerprint: md5 over the normalized token stream
+    (case-folded, punctuation-collapsed) — robust to whitespace/punct noise,
+    portable to any engine for verification."""
+    normalized = F.array_join(_words(text_col), " ")
+    return df.withColumn(out_col, F.md5(normalized))

@@ -1,0 +1,287 @@
+"""Declarative tabular readback over the node/edge tables — the engine's
+query layer (DataProvider.get_data_generic parity, SURVEY §3.1).
+
+The reference compiles ``labels + rels + where_map + where_rel_map`` into
+one Cypher statement (data_providers/data_provider.py:122-262;
+query_builders/query_builder.py:42-884) and lets Neo4j plan it.  Here the
+same spec compiles into a DataFrame join tree and Catalyst plans it — the
+custom pieces are exactly the ones the reference also had to own:
+
+- label markers: ``**`` optional class, ``!!`` excluded-from-output class
+  (data_provider.py:15-16,122-139,224-237)
+- rel inference from the schema when no rels are given
+  (data_provider.py:147-151 -> model_manager.py:549-625)
+- connectedness guard rejecting implicit cross products
+  (query_builder.py:357-389), with ``allow_unrelated_subgraphs`` opt-out
+  joining disconnected groups as a cartesian product
+  (data_provider.py:97,158-160)
+- mandatory-core-then-optional join grouping: optional classes/rels become
+  LEFT joins after the mandatory core's INNER joins
+  (query_builder.py:456-581, ordering :509)
+- where_map / where_rel_map predicate dialect (operators/predicates.py)
+- only_props projection pruning (query_builder.py:861-867)
+
+Output: one column per (non-excluded) class, named by class label (or
+short_label with ``use_shortlabel``), carrying the node's ``rdfs_label``
+value — the reference's CLD-mode row shape (data_provider.py:104,164-167).
+``_id_<label>`` columns carry the deterministic node ids when
+``include_ids`` (the reference threads Neo4j ids the same way,
+action.py:1539-1547).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tab2neo_spark.model.metadata import MetadataModel, RelSpec
+from tab2neo_spark.operators.predicates import compile_where_map
+
+OPTIONAL_MARK = "**"
+EXCLUDE_MARK = "!!"
+
+
+class QuerySpecError(ValueError):
+    pass
+
+
+def _strip_marks(label: str) -> tuple[str, bool, bool]:
+    optional = label.endswith(OPTIONAL_MARK)
+    if optional:
+        label = label[: -len(OPTIONAL_MARK)]
+    excluded = label.endswith(EXCLUDE_MARK)
+    if excluded:
+        label = label[: -len(EXCLUDE_MARK)]
+    return label, optional, excluded
+
+
+def _connected_groups(labels: list[str], rels: list[RelSpec]) -> list[set[str]]:
+    """Union-find over the label/rel graph (query_builder.py:357-389)."""
+    parent = {lb: lb for lb in labels}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rels:
+        if r.from_label in parent and r.to_label in parent:
+            ra, rb = find(r.from_label), find(r.to_label)
+            if ra != rb:
+                parent[rb] = ra
+    groups: dict[str, set[str]] = {}
+    for lb in labels:
+        groups.setdefault(find(lb), set()).add(lb)
+    return list(groups.values())
+
+
+class DataProvider:
+    def __init__(
+        self,
+        spark: SparkSession,
+        model: MetadataModel,
+        nodes: DataFrame,
+        edges: DataFrame,
+    ):
+        self.spark = spark
+        self.model = model
+        self.nodes = nodes
+        self.edges = edges
+
+    # -- building blocks -----------------------------------------------------
+
+    def _class_df(self, label: str, where: Mapping[str, Any] | None) -> DataFrame:
+        """Nodes of one class, filtered early (predicate pushdown: the
+        filter lands directly on the partitioned nodes scan)."""
+        df = self.nodes.filter(F.col("class") == label).select(
+            F.col("node_id").alias(f"_id_{label}"),
+            F.col("rdfs_label").alias(label),
+        )
+        if where:
+            # conditions address the class's value column by property name;
+            # 'rdfs:label'/'rdfs_label' mean the canonical value column
+            resolved = {}
+            for prop, cond in where.items():
+                col = label if prop in ("rdfs:label", "rdfs_label") else prop
+                resolved[col] = cond
+            cond = compile_where_map(resolved)
+            if cond is not None:
+                df = df.filter(cond)
+        return df
+
+    def _edges_for(self, rel: RelSpec) -> DataFrame:
+        return self.edges.filter(F.col("rel_type") == rel.relationship_type).select(
+            F.col("src").alias(f"_id_{rel.from_label}"),
+            F.col("dst").alias(f"_id_{rel.to_label}"),
+        )
+
+    # -- the query entry point -----------------------------------------------
+
+    def get_data(
+        self,
+        labels: Sequence[str],
+        rels: Sequence[Mapping[str, Any] | RelSpec] | None = None,
+        where_map: Mapping[str, Mapping[str, Any]] | None = None,
+        where_rel_map: Mapping[str, Mapping[str, Any]] | None = None,
+        infer_rels: bool = True,
+        allow_unrelated_subgraphs: bool = False,
+        limit: int | None = None,
+        use_shortlabel: bool = False,
+        include_ids: bool = False,
+        return_nodeid: bool = False,
+    ) -> DataFrame:
+        where_map = where_map or {}
+
+        # 1. strip markers (data_provider.py:124-139)
+        parsed = [_strip_marks(lb) for lb in labels]
+        clean = [p[0] for p in parsed]
+        optional = {p[0] for p in parsed if p[1]}
+        excluded = {p[0] for p in parsed if p[2]}
+        if not clean:
+            raise QuerySpecError("no labels")
+
+        # 2. rels: explicit, else inferred from the schema (J4)
+        rel_specs: list[RelSpec] = []
+        for r in rels or []:
+            if isinstance(r, RelSpec):
+                rel_specs.append(r)
+            else:
+                rel_specs.append(
+                    RelSpec(
+                        r.get("from") or r.get("from_label"),
+                        r.get("to") or r.get("to_label"),
+                        r.get("type") or r.get("relationship_type"),
+                        bool(r.get("optional", False)),
+                    )
+                )
+        if not rel_specs and infer_rels and len(clean) > 1:
+            rel_specs = self.model.infer_rels(clean)
+        # a rel touching an optional class is itself optional (J2/J3)
+        rel_specs = [
+            RelSpec(
+                r.from_label,
+                r.to_label,
+                r.relationship_type,
+                r.optional or r.from_label in optional or r.to_label in optional,
+            )
+            for r in rel_specs
+        ]
+
+        # 3. connectedness guard (J5/J6)
+        groups = _connected_groups(clean, rel_specs)
+        if len(groups) > 1 and not allow_unrelated_subgraphs:
+            raise QuerySpecError(
+                f"labels form {len(groups)} disconnected groups {groups}; "
+                "pass allow_unrelated_subgraphs=True for a cartesian product"
+            )
+
+        # 4. join order: mandatory core first, then optional left-joins,
+        #    most-connected-first within each tier (query_builder.py:509)
+        def connectivity(lb: str) -> int:
+            return sum(1 for r in rel_specs if lb in (r.from_label, r.to_label))
+
+        result: DataFrame | None = None
+        for group in groups:
+            g_df = self._join_group(
+                sorted(group, key=lambda lb: (lb in optional, -connectivity(lb), lb)),
+                rel_specs,
+                optional,
+                where_map,
+            )
+            result = g_df if result is None else result.crossJoin(g_df)
+
+        # 5. where_rel_map: EXISTS / NOT EXISTS neighborhood conditions (P2)
+        for label, conds in (where_rel_map or {}).items():
+            result = self._apply_rel_conditions(result, label, conds)
+
+        # 6. projection: drop ids and excluded classes (P3/P4)
+        out_cols = []
+        for lb in clean:
+            if lb in excluded:
+                continue
+            name = (
+                self.model.classes[lb].short_label
+                if use_shortlabel and lb in self.model.classes and self.model.classes[lb].short_label
+                else lb
+            )
+            out_cols.append(F.col(lb).alias(name))
+            if include_ids or return_nodeid:
+                out_cols.append(F.col(f"_id_{lb}").alias(f"_id_{name}"))
+        result = result.select(*out_cols)
+        if limit is not None:
+            result = result.limit(limit)
+        return result
+
+    def _join_group(
+        self,
+        ordered_labels: list[str],
+        rel_specs: list[RelSpec],
+        optional: set[str],
+        where_map: Mapping[str, Mapping[str, Any]],
+    ) -> DataFrame:
+        joined: DataFrame | None = None
+        in_plan: set[str] = set()
+        pending = list(ordered_labels)
+        while pending:
+            progressed = False
+            for lb in list(pending):
+                if joined is None:
+                    joined = self._class_df(lb, where_map.get(lb))
+                    in_plan.add(lb)
+                    pending.remove(lb)
+                    progressed = True
+                    continue
+                # find a rel connecting lb to the current plan
+                for r in rel_specs:
+                    endpoints = (r.from_label, r.to_label)
+                    if lb not in endpoints:
+                        continue
+                    other = endpoints[0] if endpoints[1] == lb else endpoints[1]
+                    if other in in_plan and lb not in in_plan:
+                        e = self._edges_for(r)
+                        n = self._class_df(lb, where_map.get(lb))
+                        how = "left" if (r.optional or lb in optional) else "inner"
+                        known = r.from_label if r.from_label in in_plan else r.to_label
+                        # edge ⋈ new class first, then attach to the plan on
+                        # the known side's id — one join per hop
+                        e_n = e.join(n, f"_id_{lb}", "inner")
+                        joined = joined.join(e_n, f"_id_{known}", how)
+                        in_plan.add(lb)
+                        pending.remove(lb)
+                        progressed = True
+                        break
+                if progressed:
+                    break
+            if not progressed and pending:
+                # same-group labels with no direct rel to the plan yet —
+                # should not happen after connectedness grouping
+                raise QuerySpecError(f"cannot join labels {pending} into plan {in_plan}")
+        assert joined is not None
+        return joined
+
+    def _apply_rel_conditions(
+        self, df: DataFrame, label: str, conds: Mapping[str, Any]
+    ) -> DataFrame:
+        """{'EXISTS'/'NOT EXISTS': {'include': [labels]}} against any
+        neighbor via any rel type (query_builder.py:300-355)."""
+        for mode, spec in conds.items():
+            exists = not mode.upper().startswith("NOT")
+            include = spec.get("include") or spec.get("include_matched") or []
+            neighbor_ids = (
+                self.nodes.filter(F.col("class").isin(list(include)))
+                .select(F.col("node_id").alias("_nbr"))
+            )
+            # neighbors on either edge direction
+            e1 = self.edges.join(neighbor_ids, F.col("dst") == F.col("_nbr")).select(
+                F.col("src").alias("_k")
+            )
+            e2 = self.edges.join(neighbor_ids, F.col("src") == F.col("_nbr")).select(
+                F.col("dst").alias("_k")
+            )
+            keys = e1.union(e2).distinct()
+            how = "left_semi" if exists else "left_anti"
+            df = df.join(keys, df[f"_id_{label}"] == keys["_k"], how)
+        return df
