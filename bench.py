@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32))
-SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1500000"))
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "2500000"))
 SCALING_CORES = [
     int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8,32").split(",")
 ]

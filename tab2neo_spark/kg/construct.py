@@ -39,15 +39,36 @@ IS_A = "IS_A"
 SAME_AS_PRED = "SAME_AS"
 
 
-@dataclass
 class KGResult:
-    pages: DataFrame
-    mentions: DataFrame       # (url, class, surface, canonical, term_code)
-    mention_pairs: DataFrame  # distinct (url, class, canonical)
-    nodes: DataFrame          # NODES_SCHEMA
-    edges: DataFrame          # EDGES_SCHEMA
-    triples: DataFrame        # TRIPLES_SCHEMA
-    _persisted: DataFrame | None = None
+    """Lazy handle over the construction DAG.
+
+    Output DataFrames (``nodes``/``edges``/``triples``/``mentions``) are
+    built on first attribute access: plan construction costs real driver
+    time (py4j + analysis), and it is the per-batch SERIAL term in the
+    scaling law — a caller that only materializes ``triples`` must not pay
+    for the plans of the other outputs."""
+
+    def __init__(self, pages, mention_pairs, mentions_thunk, nodes_thunk,
+                 edges_thunk, triples_thunk, persisted=None):
+        self.pages = pages
+        self.mention_pairs = mention_pairs  # distinct (url, class, canonical)
+        self._thunks = {
+            "mentions": mentions_thunk,   # (url, class, surface, canonical, term_code)
+            "nodes": nodes_thunk,         # NODES_SCHEMA
+            "edges": edges_thunk,         # EDGES_SCHEMA
+            "triples": triples_thunk,     # TRIPLES_SCHEMA
+        }
+        self._built = {}
+        self._persisted = persisted
+
+    def __getattr__(self, name):
+        thunks = object.__getattribute__(self, "_thunks")
+        if name in thunks:
+            built = object.__getattribute__(self, "_built")
+            if name not in built:
+                built[name] = thunks[name]()
+            return built[name]
+        raise AttributeError(name)
 
     def unpersist(self) -> None:
         if self._persisted is not None:
@@ -164,16 +185,18 @@ def construct_kg(
         pages = pages.withColumn("text", extract_text_udf(F.col("html")))
 
     # canonicalization: CC over SAME_AS -> rewrite surfaces (MERGE analog);
-    # the canonical map is already inside metadata — rebuild a DF view of it
-    # lazily for the inspection-grade `mentions` output only.
-    canon = spark.createDataFrame(
-        sorted(metadata.canon_lookup.items()) or [("", "")], "surface string, canonical string"
-    )
-    raw_mentions = detect_mentions(
-        pages, gaz, text_col="text", id_col="url",
-        surfaces=sorted({s for _, s, _ in metadata.gaz_rows}),
-    )
-    mentions = apply_canonical(raw_mentions, canon, col="surface", out_col="canonical")
+    # the canonical map is already inside metadata — the inspection-grade
+    # `mentions` output rebuilds a DF view of it on demand.
+    def mentions_thunk():
+        canon = spark.createDataFrame(
+            sorted(metadata.canon_lookup.items()) or [("", "")],
+            "surface string, canonical string",
+        )
+        raw = detect_mentions(
+            pages, gaz, text_col="text", id_col="url",
+            surfaces=sorted({s for _, s, _ in metadata.gaz_rows}),
+        )
+        return apply_canonical(raw, canon, col="surface", out_col="canonical")
 
     # the load-bearing intermediate: everything downstream derives from it.
     # Persist at PAGE granularity (1 row/page + small key array): cheapest
@@ -192,64 +215,65 @@ def construct_kg(
             mention_pairs_src = mention_pairs_src.distinct()
     else:
         # generic path: arbitrary (non-token) gazetteer surfaces
-        mention_pairs_src = mentions.select("url", "class", "canonical").distinct()
+        mention_pairs_src = mentions_thunk().select("url", "class", "canonical").distinct()
         if persist_intermediate:
             mention_pairs_src = mention_pairs_src.persist(StorageLevel.MEMORY_AND_DISK)
             persisted = mention_pairs_src
 
-    # entity nodes: one per (class, canonical surface), deterministic id
-    entities = (
-        mention_pairs_src.select("class", F.col("canonical").alias("rdfs_label"))
-        .distinct()
-        .withColumn("uri", S.node_uri_col(F.col("class"), F.col("rdfs_label")))
-        .withColumn("node_id", F.xxhash64("class", "rdfs_label"))
-        .withColumn("props", F.lit(None).cast("map<string,string>"))
-        .select("node_id", "class", "rdfs_label", "uri", "props")
-    )
-
-    # page nodes
-    page_nodes = (
-        pages.select(F.col("url").alias("rdfs_label"))
-        .distinct()  # a url crawled twice is still one Page node
-        .withColumn("class", F.lit("Page"))
-        .withColumn("uri", S.node_uri_col(F.col("class"), F.col("rdfs_label")))
-        .withColumn("node_id", F.xxhash64("class", "rdfs_label"))
-        .withColumn("props", F.lit(None).cast("map<string,string>"))
-        .select("node_id", "class", "rdfs_label", "uri", "props")
-    )
-    nodes = page_nodes.unionByName(entities)
-
-    # MENTIONS edges: distinct (page, entity)
-    edges = mention_pairs_src.select(
-        F.xxhash64(F.lit("Page"), F.col("url")).alias("src"),
-        F.lit(MENTIONS).alias("rel_type"),
-        F.xxhash64("class", "canonical").alias("dst"),
-    )
-
-    # flattened triples: human-readable identity (url / class:surface) so
-    # the readback layer and oracles are id-scheme independent
-    t_mentions = mention_pairs_src.select(
-        F.col("url").alias("subj"),
-        F.lit(MENTIONS).alias("pred"),
-        F.concat_ws(":", F.col("class"), F.col("canonical")).alias("obj"),
-    )
-    t_isa = (
-        mention_pairs_src.select("class", "canonical")
-        .distinct()
-        .select(
-            F.concat_ws(":", F.col("class"), F.col("canonical")).alias("subj"),
-            F.lit(IS_A).alias("pred"),
-            F.col("class").alias("obj"),
+    def nodes_thunk():
+        # entity nodes: one per (class, canonical surface), deterministic id
+        entities = (
+            mention_pairs_src.select("class", F.col("canonical").alias("rdfs_label"))
+            .distinct()
+            .withColumn("uri", S.node_uri_col(F.col("class"), F.col("rdfs_label")))
+            .withColumn("node_id", F.xxhash64("class", "rdfs_label"))
+            .withColumn("props", F.lit(None).cast("map<string,string>"))
+            .select("node_id", "class", "rdfs_label", "uri", "props")
         )
-    )
-    triples = t_mentions.unionByName(t_isa)
+        page_nodes = (
+            pages.select(F.col("url").alias("rdfs_label"))
+            .distinct()  # a url crawled twice is still one Page node
+            .withColumn("class", F.lit("Page"))
+            .withColumn("uri", S.node_uri_col(F.col("class"), F.col("rdfs_label")))
+            .withColumn("node_id", F.xxhash64("class", "rdfs_label"))
+            .withColumn("props", F.lit(None).cast("map<string,string>"))
+            .select("node_id", "class", "rdfs_label", "uri", "props")
+        )
+        return page_nodes.unionByName(entities)
+
+    def edges_thunk():
+        # MENTIONS edges: distinct (page, entity)
+        return mention_pairs_src.select(
+            F.xxhash64(F.lit("Page"), F.col("url")).alias("src"),
+            F.lit(MENTIONS).alias("rel_type"),
+            F.xxhash64("class", "canonical").alias("dst"),
+        )
+
+    def triples_thunk():
+        # flattened triples: human-readable identity (url / class:surface)
+        # so the readback layer and oracles are id-scheme independent
+        t_mentions = mention_pairs_src.select(
+            F.col("url").alias("subj"),
+            F.lit(MENTIONS).alias("pred"),
+            F.concat_ws(":", F.col("class"), F.col("canonical")).alias("obj"),
+        )
+        t_isa = (
+            mention_pairs_src.select("class", "canonical")
+            .distinct()
+            .select(
+                F.concat_ws(":", F.col("class"), F.col("canonical")).alias("subj"),
+                F.lit(IS_A).alias("pred"),
+                F.col("class").alias("obj"),
+            )
+        )
+        return t_mentions.unionByName(t_isa)
 
     return KGResult(
         pages=pages,
-        mentions=mentions,
         mention_pairs=mention_pairs_src,
-        nodes=nodes,
-        edges=edges,
-        triples=triples,
-        _persisted=persisted,
+        mentions_thunk=mentions_thunk,
+        nodes_thunk=nodes_thunk,
+        edges_thunk=edges_thunk,
+        triples_thunk=triples_thunk,
+        persisted=persisted,
     )

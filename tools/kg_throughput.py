@@ -12,6 +12,7 @@ is evidenced on the exact same input.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -49,10 +50,10 @@ def main() -> None:
     # spinup) so we measure steady-state pipeline throughput, which is what
     # scales with cluster size. The sandbox host shows heavy interference
     # (identical runs vary 2-4x), and interference is strictly additive —
-    # report the MINIMUM of 5 timed runs as the machine-capability number,
+    # report the MINIMUM of the timed runs as the machine-capability number,
     # alongside all samples.
     n_triples, _ = run_once()
-    walls = sorted(run_once()[1] for _ in range(5))
+    walls = sorted(run_once()[1] for _ in range(int(os.environ.get('SPARK_GRAFT_BENCH_REPS', '3'))))
     wall = walls[0]
 
     print(json.dumps({
