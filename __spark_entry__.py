@@ -116,6 +116,52 @@ def q_kg_readback_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customer_refactor(spark: SparkSession, sf_dir: str):
+    """ModelApplier-style refactor of the customer table: columns become
+    entity classes, shared-row co-occurrence becomes typed edges."""
+    from tab2neo_spark.kg.refactor import RefactorEngine
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    cust = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey")
+    m = MetadataModel()
+    m.create_related_classes_from_list(
+        [["customer", "c_mktsegment", "c_mktsegment"],
+         ["customer", "c_nationkey", "c_nationkey"]]
+    )
+    m.create_relationship("c_mktsegment", "c_nationkey", "IN_NATION")
+    return m, RefactorEngine(spark, m).refactor_all(cust, "customer")
+
+
+def q_refactor_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, res = _customer_refactor(spark, sf_dir)
+    return res.nodes.select("class", "rdfs_label")
+
+
+def q_refactor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 link_classes: distinct (segment, nation) co-occurrence edges,
+    joined back to readable values."""
+    from pyspark.sql import functions as FF
+
+    _, res = _customer_refactor(spark, sf_dir)
+    e = res.edges.filter(FF.col("rel_type") == "IN_NATION")
+    a = res.nodes.select(FF.col("node_id").alias("src"), FF.col("rdfs_label").alias("segment"))
+    b = res.nodes.select(FF.col("node_id").alias("dst"), FF.col("rdfs_label").alias("nation"))
+    return e.join(a, "src").join(b, "dst").select("segment", "nation")
+
+
+def q_refactor_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full loop: table -> graph -> get_data readback with a filter."""
+    from tab2neo_spark.provider import DataProvider
+
+    m, res = _customer_refactor(spark, sf_dir)
+    dp = DataProvider(spark, m, res.nodes, res.edges)
+    return dp.get_data(
+        ["c_mktsegment", "c_nationkey"],
+        rels=[{"from": "c_mktsegment", "to": "c_nationkey", "type": "IN_NATION"}],
+        where_map={"c_mktsegment": {"rdfs:label": "BUILDING"}},
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — predicate compiler (P1/P2)
 # ---------------------------------------------------------------------------
@@ -423,6 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_map": q_kg_canonical_map,
         "kg_entity_degree": q_kg_entity_degree,
         "kg_readback_join": q_kg_readback_join,
+        "refactor_nodes": q_refactor_nodes,
+        "refactor_links": q_refactor_links,
+        "refactor_readback": q_refactor_readback,
         "kg_readback_optional": q_kg_readback_optional,
         "kg_readback_exists": q_kg_readback_exists,
         "where_range": q_where_range,
@@ -543,6 +592,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT {_URL} AS subj, m.class || ':' || m.canon AS obj
                 FROM m JOIN documents USING (doc_id)
             ) GROUP BY obj
+        """,
+        "refactor_nodes": """
+            SELECT 'c_mktsegment' AS class, c_mktsegment AS rdfs_label
+            FROM (SELECT DISTINCT c_mktsegment FROM customer)
+            UNION ALL
+            SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+            FROM (SELECT DISTINCT c_nationkey FROM customer)
+        """,
+        "refactor_links": """
+            SELECT DISTINCT c_mktsegment AS segment,
+                   CAST(c_nationkey AS VARCHAR) AS nation
+            FROM customer
+        """,
+        "refactor_readback": """
+            SELECT DISTINCT c_mktsegment AS "c_mktsegment",
+                   CAST(c_nationkey AS VARCHAR) AS "c_nationkey"
+            FROM customer WHERE c_mktsegment = 'BUILDING'
         """,
         "kg_readback_join": f"""
             {mentions_cte}

@@ -1,0 +1,254 @@
+"""Table-to-graph refactoring: the ModelApplier core (R1-R9).
+
+The reference turns loaded tabular rows into entity nodes + typed
+relationships, driven by the metadata model:
+
+- R1 plan: traverse mappings table->column->class, build per-class
+  extraction specs {mode: create/merge, coll: [[col, prop]], lbl}
+  (model_appliers/model_applier.py:156-257)
+- R2 extract: per spec, project mapped columns, create-or-merge entity
+  nodes, FROM_DATA edge back to the source row (model_applier.py:259-295)
+- R3 link: for each schema relationship, join entities of both classes on
+  their shared source row, emit a typed edge (model_applier.py:297-373)
+- R4 IS_A edges instance->Class (model_applier.py:376-430)
+- R6 link_to_terms: instance.rdfs_label = term.rdfs_label within class
+  (model_applier.py:479-501)
+- R9 refactor_all orchestration (model_applier.py:96-135)
+
+The reference loops classes/relationships on the driver, one Cypher call
+each, serially — its chief scalability limit (SURVEY §3.3). Here each
+class extraction and each relationship link is an independent lazy
+DataFrame; one union materializes them all in a single Spark job wave.
+
+Row identity: Neo4j gives every loaded row a node id. A distributed,
+resumable engine derives ``row_id = xxhash64(domain, <all columns>)`` —
+deterministic across runs and cluster sizes. Byte-identical duplicate rows
+therefore collapse to one row node (the reference would keep both; for
+merge-mode entities the resulting graph is identical, and the divergence
+is documented here and tested).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tab2neo_spark import schema as S
+from tab2neo_spark.model.metadata import MetadataModel
+
+FROM_DATA = "FROM_DATA"
+IS_A = "IS_A"
+TERM = "Term"
+
+
+@dataclass
+class ExtractionSpec:
+    """R1 plan entry (model_applier.py:156-257)."""
+
+    class_label: str
+    columns: list  # [(source_column, property_name)]
+    mode: str = "merge"  # 'merge' | 'create' (Class.create=True semantics)
+
+
+@dataclass
+class RefactorResult:
+    nodes: DataFrame     # NODES_SCHEMA (entity + row nodes)
+    edges: DataFrame     # EDGES_SCHEMA (typed rels + FROM_DATA + IS_A + Term)
+    row_map: DataFrame   # (row_id, class, node_id) - entity ids per source row
+    specs: list = field(default_factory=list)
+
+
+def plan_extraction(model: MetadataModel, table_class: str) -> list[ExtractionSpec]:
+    """R1: one spec per class mapped from the table's columns.
+
+    With a create_model_from_data-style model, every relationship
+    ``table_class -> C`` maps column C to class C; ``create``-mode classes
+    come from ``ClassSpec.create`` (model_applier.py:220-224).
+    """
+    specs = []
+    for rel in model.relationships:
+        if rel.from_label != table_class:
+            continue
+        cls = model.classes.get(rel.to_label)
+        if cls is None:
+            continue
+        specs.append(
+            ExtractionSpec(
+                class_label=cls.label,
+                columns=[(cls.label, "rdfs_label")],
+                mode="create" if cls.create else "merge",
+            )
+        )
+    return specs
+
+
+class RefactorEngine:
+    def __init__(self, spark: SparkSession, model: MetadataModel):
+        self.spark = spark
+        self.model = model
+
+    # -- R2 -------------------------------------------------------------------
+
+    def with_row_ids(self, df: DataFrame, domain: str) -> DataFrame:
+        """Deterministic source-row identity (the Source Data Row analog)."""
+        return df.withColumn(
+            "_row_id", F.xxhash64(F.lit(domain), *[F.col(c) for c in df.columns])
+        ).dropDuplicates(["_row_id"])
+
+    def extract_class_entities(
+        self, df: DataFrame, specs: list[ExtractionSpec], domain: str
+    ) -> RefactorResult:
+        """R2: entity nodes per spec + FROM_DATA provenance edges.
+
+        merge-mode id = xxhash64(class, value): equal values collapse
+        globally WITHOUT a shuffle-dedup — downstream writes dedup on the
+        deterministic key instead (materialize.write_stage).
+        create-mode id = xxhash64(class, row_id, value): one node per
+        source row (model_applier.py:246-251).
+        """
+        rows = self.with_row_ids(df, domain)
+
+        node_parts = []
+        rowmap_parts = []
+        for spec in specs:
+            src_col, _prop = spec.columns[0]
+            base = rows.select(
+                F.col("_row_id"),
+                F.col(src_col).cast("string").alias("rdfs_label"),
+            ).filter(F.col("rdfs_label").isNotNull())
+            # null keys must not merge together (CLD_NAN discipline,
+            # action.py:1656-1660): nulls are dropped, not merged
+            if spec.mode == "create":
+                node_id = F.xxhash64(F.lit(spec.class_label), F.col("_row_id"), F.col("rdfs_label"))
+            else:
+                node_id = F.xxhash64(F.lit(spec.class_label), F.col("rdfs_label"))
+            part = base.select(
+                node_id.alias("node_id"),
+                F.lit(spec.class_label).alias("class"),
+                F.col("rdfs_label"),
+                S.node_uri_col(F.lit(spec.class_label), F.col("rdfs_label")).alias("uri"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+                F.col("_row_id"),
+            )
+            rowmap_parts.append(
+                part.select(F.col("_row_id").alias("row_id"), "class", "node_id")
+            )
+            node_parts.append(part.drop("_row_id"))
+
+        all_nodes = node_parts[0]
+        for p in node_parts[1:]:
+            all_nodes = all_nodes.unionByName(p)
+        # merge-mode duplicates collapse on the deterministic id; at write
+        # time materialize.write_stage's dedup_key would do this for free —
+        # the in-memory result honors MERGE semantics the same way
+        all_nodes = all_nodes.dropDuplicates(["node_id"])
+
+        row_map = rowmap_parts[0]
+        for p in rowmap_parts[1:]:
+            row_map = row_map.unionByName(p)
+
+        # FROM_DATA provenance: entity -> source row node id
+        from_data = row_map.select(
+            F.col("node_id").alias("src"),
+            F.lit(FROM_DATA).alias("rel_type"),
+            F.col("row_id").alias("dst"),
+        )
+        return RefactorResult(nodes=all_nodes, edges=from_data, row_map=row_map)
+
+    # -- R3 -------------------------------------------------------------------
+
+    def link_classes(self, row_map: DataFrame) -> DataFrame:
+        """R3/J7: echo schema relationships into data — entities of classes
+        A and B extracted from the SAME source row get a typed edge.
+
+        One self-equi-join of the row_map on row_id covers ALL
+        relationships simultaneously (vs the reference's per-relationship
+        Cypher loop); the rel-type table is broadcast."""
+        rels = [
+            (r.from_label, r.to_label, r.relationship_type)
+            for r in self.model.relationships
+        ]
+        if not rels:
+            return self.spark.createDataFrame([], S.EDGES_SCHEMA)
+        rel_df = F.broadcast(
+            self.spark.createDataFrame(
+                rels, "from_label string, to_label string, rel_type string"
+            )
+        )
+        a = row_map.select(
+            F.col("row_id"), F.col("class").alias("from_label"), F.col("node_id").alias("src")
+        )
+        b = row_map.select(
+            F.col("row_id"), F.col("class").alias("to_label"), F.col("node_id").alias("dst")
+        )
+        return (
+            a.join(b, "row_id")
+            .join(rel_df, ["from_label", "to_label"], "inner")
+            .select("src", "rel_type", "dst")
+            .dropDuplicates()
+        )
+
+    # -- R4 -------------------------------------------------------------------
+
+    def is_a_edges(self, row_map: DataFrame) -> DataFrame:
+        """R4: instance -> Class-node edges; the class node id is the
+        deterministic hash of ('Class', label)."""
+        return row_map.select(
+            F.col("node_id").alias("src"),
+            F.lit(IS_A).alias("rel_type"),
+            F.xxhash64(F.lit("Class"), F.col("class")).alias("dst"),
+        ).dropDuplicates()
+
+    # -- R6 -------------------------------------------------------------------
+
+    def link_to_terms(self, nodes: DataFrame, terms: DataFrame) -> DataFrame:
+        """R6/J8: instance.rdfs_label = term.rdfs_label within the class ->
+        [:Term] edge; the terms table is controlled terminology
+        (metadata-scale) -> broadcast hash join."""
+        t = F.broadcast(
+            terms.select(
+                F.col("class_label"),
+                F.col("rdfs_label").alias("term_label"),
+                F.xxhash64(F.lit("Term"), F.col("codelist_code"), F.col("term_code")).alias(
+                    "term_id"
+                ),
+            )
+        )
+        return (
+            nodes.join(
+                t,
+                (nodes["class"] == t["class_label"])
+                & (nodes["rdfs_label"] == t["term_label"]),
+                "inner",
+            )
+            .select(
+                F.col("node_id").alias("src"),
+                F.lit(TERM).alias("rel_type"),
+                F.col("term_id").alias("dst"),
+            )
+            .dropDuplicates()
+        )
+
+    # -- R9 -------------------------------------------------------------------
+
+    def refactor_all(
+        self,
+        df: DataFrame,
+        table_class: str,
+        domain: str | None = None,
+        terms: DataFrame | None = None,
+    ) -> RefactorResult:
+        """R9: plan -> extract -> link -> is_a (-> terms), one lazy DAG."""
+        domain = domain or table_class
+        specs = plan_extraction(self.model, table_class)
+        if not specs:
+            raise ValueError(f"no extraction specs for table class {table_class!r}")
+        res = self.extract_class_entities(df, specs, domain)
+        edges = res.edges.unionByName(self.link_classes(res.row_map)).unionByName(
+            self.is_a_edges(res.row_map)
+        )
+        if terms is not None:
+            edges = edges.unionByName(self.link_to_terms(res.nodes, terms))
+        return RefactorResult(nodes=res.nodes, edges=edges, row_map=res.row_map, specs=specs)

@@ -1,0 +1,126 @@
+"""ModelApplier-parity tests: table -> entity nodes + typed edges + IS_A +
+Term links, readback through DataProvider — mirrors the reference's
+refactor tests (tests/tests_model_applier/, golden recordsets) with the
+clinical-style fixture shapes from FIXTURES.md §2."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tab2neo_spark.kg.refactor import RefactorEngine, plan_extraction
+from tab2neo_spark.model.metadata import MetadataModel, TermSpec
+from tab2neo_spark.provider import DataProvider
+
+
+@pytest.fixture(scope="module")
+def record_df(spark):
+    # the reference's examples/data/Record.csv shape (FIXTURES.md §2)
+    rows = [
+        ("STUDY1", "S001", 30, "M"),
+        ("STUDY1", "S002", 40, "F"),
+        ("STUDY1", "S003", 30, None),
+        ("STUDY2", "S001", 25, "F"),
+    ]
+    return spark.createDataFrame(rows, "Study string, Subject string, Age int, Sex string")
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = MetadataModel()
+    m.create_related_classes_from_list(
+        [["Record", "Study", "Study"], ["Record", "Subject", "Subject"],
+         ["Record", "Age", "Age"], ["Record", "Sex", "Sex"]]
+    )
+    # schema relationship between extracted entity classes: link_classes
+    # (R3) echoes exactly these into data via the shared source row
+    m.create_relationship("Study", "Subject")
+    m.add_term(TermSpec("Sex", "CL.SEX", "M", "M"))
+    m.add_term(TermSpec("Sex", "CL.SEX", "F", "F"))
+    return m
+
+
+@pytest.fixture(scope="module")
+def refactored(spark, record_df, model):
+    eng = RefactorEngine(spark, model)
+    return eng.refactor_all(record_df, "Record", terms=model.terms_df(spark))
+
+
+def test_plan_extraction(model):
+    specs = plan_extraction(model, "Record")
+    assert {s.class_label for s in specs} == {"Study", "Subject", "Age", "Sex"}
+    assert all(s.mode == "merge" for s in specs)
+
+
+def test_entities_merge_semantics(refactored):
+    nodes = {(r["class"], r["rdfs_label"]) for r in refactored.nodes.collect()}
+    # merge: S001 appears in two studies -> ONE Subject node; Age 30 twice -> one
+    assert nodes == {
+        ("Study", "STUDY1"), ("Study", "STUDY2"),
+        ("Subject", "S001"), ("Subject", "S002"), ("Subject", "S003"),
+        ("Age", "30"), ("Age", "40"), ("Age", "25"),
+        ("Sex", "M"), ("Sex", "F"),
+    }
+
+
+def test_null_values_not_merged(refactored):
+    """CLD_NAN discipline: the null Sex row creates no Sex node/edge."""
+    assert refactored.nodes.filter(
+        (F.col("class") == "Sex") & F.col("rdfs_label").isNull()
+    ).count() == 0
+
+
+def test_link_classes_shared_row(spark, refactored, model):
+    """R3: Study-Subject edges exist exactly for co-occurring rows."""
+    nodes = refactored.nodes
+    edges = refactored.edges.filter(F.col("rel_type") == "Subject")
+    a = nodes.select(F.col("node_id").alias("src"), F.col("rdfs_label").alias("study"))
+    b = nodes.select(F.col("node_id").alias("dst"), F.col("rdfs_label").alias("subject"))
+    got = {
+        (r["study"], r["subject"])
+        for r in edges.join(a, "src").join(b, "dst").collect()
+    }
+    assert got == {("STUDY1", "S001"), ("STUDY1", "S002"), ("STUDY1", "S003"), ("STUDY2", "S001")}
+
+
+def test_term_links(refactored):
+    term_edges = refactored.edges.filter(F.col("rel_type") == "Term")
+    # M and F instances each link to their Term node
+    assert term_edges.count() == 2
+
+
+def test_is_a_and_from_data_present(refactored):
+    kinds = {r["rel_type"] for r in refactored.edges.select("rel_type").distinct().collect()}
+    assert {"FROM_DATA", "IS_A", "Term"} <= kinds
+
+
+def test_create_mode_never_merges(spark, record_df):
+    m = MetadataModel()
+    m.create_class("Record")
+    m.create_class("Age", create=True)  # create-mode: dup ages stay separate
+    m.create_relationship("Record", "Age")
+    res = RefactorEngine(spark, m).refactor_all(record_df, "Record")
+    ages = res.nodes.filter(F.col("class") == "Age")
+    assert ages.count() == 4  # one per row incl. two Age=30
+    assert ages.select("node_id").distinct().count() == 4
+
+
+def test_readback_through_provider(spark, refactored, model):
+    """End-to-end parity: refactored graph answers get_data like the
+    reference's examples/README.md readback."""
+    dp = DataProvider(spark, model, refactored.nodes, refactored.edges)
+    got = dp.get_data(
+        ["Study", "Subject"],
+        rels=[{"from": "Study", "to": "Subject", "type": "Subject"}],
+        where_map={"Study": {"rdfs:label": "STUDY1"}},
+    )
+    assert {(r["Study"], r["Subject"]) for r in got.collect()} == {
+        ("STUDY1", "S001"), ("STUDY1", "S002"), ("STUDY1", "S003")
+    }
+
+
+def test_refactor_deterministic_across_runs(spark, record_df, model):
+    eng = RefactorEngine(spark, model)
+    n1 = {tuple(r) for r in eng.refactor_all(record_df, "Record").nodes.collect()}
+    n2 = {tuple(r) for r in eng.refactor_all(record_df, "Record").nodes.collect()}
+    assert n1 == n2
