@@ -149,6 +149,65 @@ def q_refactor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(a, "src").join(b, "dst").select("segment", "nation")
 
 
+def q_pipeline_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derivation-method DAG over lineitem: multiply -> filter(coerced
+    string bounds) -> build_uri -> sql agg — the reference's
+    example_derivation_method flow re-expressed (D2-D8, F1, F3)."""
+    from tab2neo_spark.pipeline.runner import DerivationMethod
+
+    li = _t(spark, sf_dir, "lineitem")
+    spec = {
+        "name": "derive_value",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "run_script", "script": "multiply_cols",
+             "params": {"columns": ["l_quantity", "l_extendedprice"], "new_column": "derived"}},
+            {"type": "filter", "where_map": {"derived": {"min": "100000", "max": "500000"}}},
+            {"type": "build_uri", "by": ["l_orderkey", "l_linenumber"],
+             "for": "line", "prefix": "Line", "column": "uri"},
+            {"type": "run_sql",
+             "sql": "SELECT l_returnflag, count(*) AS n, round(sum(derived), 2) AS sum_derived, "
+                    "count(DISTINCT uri) AS n_uris FROM df GROUP BY l_returnflag"},
+        ],
+    }
+    return DerivationMethod(spark, spec, source_df=li).apply().df
+
+
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: event-time windowed counts over the events
+    table driven to completion via availableNow + memory sink; equals the
+    batch time-bucket aggregation (the oracle)."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        # session tz is UTC, so the NTZ -> TIMESTAMP cast is value-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), "event_type", "n")
+    )
+    qname = f"stream_window_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT wstart, event_type, n FROM {qname}")
+
+
 def q_refactor_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full loop: table -> graph -> get_data readback with a filter."""
     from tab2neo_spark.provider import DataProvider
@@ -470,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degree": q_kg_entity_degree,
         "kg_readback_join": q_kg_readback_join,
         "refactor_nodes": q_refactor_nodes,
+        "pipeline_derive": q_pipeline_derive,
+        "stream_window": q_stream_window,
         "refactor_links": q_refactor_links,
         "refactor_readback": q_refactor_readback,
         "kg_readback_optional": q_kg_readback_optional,
@@ -592,6 +653,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT {_URL} AS subj, m.class || ':' || m.canon AS obj
                 FROM m JOIN documents USING (doc_id)
             ) GROUP BY obj
+        """,
+        "stream_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "pipeline_derive": """
+            WITH d AS (
+                SELECT *, l_quantity * l_extendedprice AS derived,
+                       'Line_by/' || l_orderkey || '/' || l_linenumber AS uri
+                FROM lineitem
+                WHERE l_quantity * l_extendedprice >= 100000
+                  AND l_quantity * l_extendedprice <= 500000
+            )
+            SELECT l_returnflag, count(*) AS n, round(sum(derived), 2) AS sum_derived,
+                   count(DISTINCT uri) AS n_uris
+            FROM d GROUP BY l_returnflag
         """,
         "refactor_nodes": """
             SELECT 'c_mktsegment' AS class, c_mktsegment AS rdfs_label

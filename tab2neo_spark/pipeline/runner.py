@@ -1,0 +1,262 @@
+"""Derivation-method DAG runner (D1-D14 subset, Spark-first).
+
+The reference persists a method as graph nodes ``(:Method)-[:METHOD_ACTION]
+->(:Method{type})-[:NEXT]->...`` and executes it by walking the chain,
+threading a pandas df through action objects, writing ``Changes`` audit
+nodes for rollback (derivation_method/derivation_method.py:249-307;
+method.py:13-71; action.py).  Here a method is a JSON-able spec compiled to
+a list of stage callables threading a Spark DataFrame; audit goes to the
+GraphStore checkpoint table; the df stays distributed end to end.
+
+Action types (reference dispatch at method.py:13-71):
+
+| type            | reference                   | here |
+|-----------------|-----------------------------|------|
+| get_data        | GetData (action.py:178-325) | DataProvider.get_data |
+| filter          | Filter (action.py:207-282)  | where_map on the df, with the
+|                 |                             | reference's string->num/bool coercion |
+| run_script      | RunScript eval (F1)         | registry transform (no eval) |
+| call_api        | CallAPI remote (F2)         | same registry, executed in-cluster |
+| run_sql         | RunCypher (F3)              | spark.sql over a temp view of the df |
+| build_uri       | BuildUri (D8)               | concat_ws deterministic keys |
+| assign_class    | AssignLabel (D5)            | node rows emitted to `new_nodes` |
+| link            | Link (D6)                   | edge rows emitted to `new_edges` |
+| branch_save/load/combine | D9                 | named df dict + natural join |
+| apply_stat      | ApplyStat supermethod (D10) | grouping-sets stats + pct |
+
+``apply(limit=n)`` mirrors apply_limited's dry run
+(derivation_method.py:305-307): the input is truncated and write-actions
+are skipped, used for output-schema prediction (D13).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tab2neo_spark.operators.predicates import apply_where_map
+from tab2neo_spark.pipeline.registry import get_transform
+from tab2neo_spark.schema import node_uri_col
+
+WRITE_ACTIONS = {"link", "assign_class"}
+
+
+def _coerce_filter_value(v: Any) -> Any:
+    """Filter literal re-typing (action.py:222-248): numeric strings ->
+    numbers on range bounds, 'true'/'false' -> bool."""
+    if isinstance(v, str):
+        low = v.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return float(v)
+            except ValueError:
+                return v
+    if isinstance(v, dict):
+        return {k: _coerce_filter_value(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_coerce_filter_value(x) for x in v]
+    return v
+
+
+@dataclass
+class MethodResult:
+    df: DataFrame | None
+    new_nodes: list[DataFrame] = field(default_factory=list)
+    new_edges: list[DataFrame] = field(default_factory=list)
+    audit: list[dict] = field(default_factory=list)
+    branches: dict[str, DataFrame] = field(default_factory=dict)
+
+
+class DerivationMethod:
+    """One method = ordered action list (the NEXT chain)."""
+
+    VALID_TYPES = {
+        "get_data", "filter", "run_script", "call_api", "run_sql", "build_uri",
+        "assign_class", "link", "branch_save", "branch_load", "branch_combine",
+        "apply_stat",
+    }
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: dict,
+        provider=None,
+        source_df: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.name = spec.get("name", "method")
+        self.actions = list(spec.get("actions", []))
+        self.provider = provider
+        self.source_df = source_df
+        self.validate()
+
+    def validate(self) -> None:
+        """Structural validation (validate_method_dict parity,
+        derivation_method.py:1302-1474 — fail fast, before any job)."""
+        if not self.actions:
+            raise ValueError(f"method {self.name!r}: no actions")
+        for i, a in enumerate(self.actions):
+            t = a.get("type")
+            if t not in self.VALID_TYPES:
+                raise ValueError(f"method {self.name!r} action {i}: unknown type {t!r}")
+            if t in ("run_script", "call_api"):
+                get_transform(a["script"])  # raises on unknown script
+            if t == "get_data" and self.provider is None and self.source_df is None:
+                raise ValueError("get_data action requires a provider or source_df")
+
+    # -- inputs/outputs prediction (D13) --------------------------------------
+
+    def predict_output_columns(self, limit: int = 10) -> list[str]:
+        """Dry-run on a 10-row slice to learn the output schema
+        (predict_output_classes pattern, derivation_method.py:851-1108)."""
+        res = self.apply(limit=limit)
+        return res.df.columns if res.df is not None else []
+
+    # -- executor (D3) ---------------------------------------------------------
+
+    def apply(self, limit: int | None = None) -> MethodResult:
+        res = MethodResult(df=self.source_df)
+        if res.df is not None and limit is not None:
+            res.df = res.df.limit(limit)
+        for i, a in enumerate(self.actions):
+            t = a["type"]
+            t0 = time.time()
+            if limit is not None and t in WRITE_ACTIONS:
+                # dry-run skips writes (Link/AssignLabel skipped in limited
+                # mode, derivation_method.py:249-307)
+                res.audit.append({"action": t, "idx": i, "skipped": "limited"})
+                continue
+            res.df = self._dispatch(t, a, res)
+            if res.df is not None and limit is not None and t == "get_data":
+                res.df = res.df.limit(limit)
+            res.audit.append(
+                {"action": t, "idx": i, "wall_s": round(time.time() - t0, 3)}
+            )
+        return res
+
+    def _dispatch(self, t: str, a: dict, res: MethodResult) -> DataFrame | None:
+        df = res.df
+        if t == "get_data":
+            if self.provider is not None and "labels" in a:
+                return self.provider.get_data(
+                    a["labels"],
+                    rels=a.get("rels"),
+                    where_map=a.get("where_map"),
+                    where_rel_map=a.get("where_rel_map"),
+                    include_ids=a.get("include_ids", False),
+                    allow_unrelated_subgraphs=a.get("allow_unrelated_subgraphs", False),
+                )
+            return self.source_df
+        if t == "filter":
+            wm = {k: _coerce_filter_value(v) for k, v in a["where_map"].items()}
+            return apply_where_map(df, wm)
+        if t in ("run_script", "call_api"):
+            fn = get_transform(a["script"])
+            return fn(df, **a.get("params", {}))
+        if t == "run_sql":
+            df.createOrReplaceTempView(a.get("view", "df"))
+            out = self.spark.sql(a["sql"])
+            return out if a.get("update_df", True) else df
+        if t == "build_uri":
+            by = a["by"]
+            prefix = a.get("prefix", a.get("for", "uri"))
+            out_col = a.get("column", f"_uri_{a.get('for', 'x')}")
+            return df.withColumn(
+                out_col,
+                node_uri_col(F.lit(prefix), *[F.col(c) for c in by]),
+            )
+        if t == "assign_class":
+            label = a["class"]
+            value_col = a["value_column"]
+            nodes = (
+                df.select(F.col(value_col).cast("string").alias("rdfs_label"))
+                .filter(F.col("rdfs_label").isNotNull())
+                .distinct()
+                .select(
+                    F.xxhash64(F.lit(label), F.col("rdfs_label")).alias("node_id"),
+                    F.lit(label).alias("class"),
+                    F.col("rdfs_label"),
+                    node_uri_col(F.lit(label), F.col("rdfs_label")).alias("uri"),
+                    F.lit(None).cast("map<string,string>").alias("props"),
+                )
+            )
+            res.new_nodes.append(nodes)
+            return df.withColumn(
+                f"_id_{label}", F.xxhash64(F.lit(label), F.col(value_col).cast("string"))
+            )
+        if t == "link":
+            # scenario 1 (action.py:1539-1547): explicit id pair columns
+            rel_type = a["relationship_type"]
+            edges = (
+                df.select(
+                    F.col(a["from_id"]).alias("src"),
+                    F.lit(rel_type).alias("rel_type"),
+                    F.col(a["to_id"]).alias("dst"),
+                )
+                .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+                .dropDuplicates()
+            )
+            res.new_edges.append(edges)
+            return df
+        if t == "branch_save":
+            res.branches[a["name"]] = df
+            return df
+        if t == "branch_load":
+            return res.branches[a["name"]]
+        if t == "branch_combine":
+            # J12: natural join on all shared columns (action.py:2238-2263)
+            other = res.branches[a["with"]]
+            common = [c for c in df.columns if c in set(other.columns)]
+            return df.join(other, common, a.get("how", "inner"))
+        if t == "apply_stat":
+            from tab2neo_spark.operators.stats import (
+                dimension_combination_stats,
+                percentage_of_total,
+            )
+
+            if a.get("percentage_by"):
+                return percentage_of_total(
+                    df,
+                    dims=a["dims"],
+                    denominator_dims=a["percentage_by"],
+                    value_col=a["value_col"],
+                    dp=a.get("percentage_dp", 2),
+                )
+            return dimension_combination_stats(
+                df,
+                required=a.get("dims", []),
+                optional=a.get("optional_dims", []),
+                value_col=a["value_col"],
+                stats=a.get("stats", ["n"]),
+            )
+        raise AssertionError(t)
+
+
+def resolve_methods_order(methods: dict[str, dict]) -> list[str]:
+    """D12: Kahn topological order from explicit prerequisites
+    (derivation_method.py:702-762; utils.py:235-250). ``methods`` maps
+    name -> spec; spec['prerequisites'] lists method names."""
+    deps = {name: set(spec.get("prerequisites", [])) for name, spec in methods.items()}
+    order: list[str] = []
+    ready = sorted(n for n, d in deps.items() if not d)
+    while ready:
+        n = ready.pop(0)
+        order.append(n)
+        for m in sorted(deps):
+            if n in deps[m]:
+                deps[m].discard(n)
+                if not deps[m] and m not in order and m not in ready:
+                    ready.append(m)
+        ready.sort()
+    if len(order) != len(methods):
+        missing = set(methods) - set(order)
+        raise ValueError(f"cyclic or unsatisfiable prerequisites: {sorted(missing)}")
+    return order

@@ -1,0 +1,201 @@
+"""File/data loaders (S1-S10 of SURVEY §2.1).
+
+The reference's FileDataLoader reads sas7bdat/xpt/rda/xls/xlsx/csv/parquet
+into pandas with metadata-only and head-100 test modes, a df.query filter,
+and a column-name sanitize regex (data_loaders/file_data_loader.py:30-121),
+then writes rows as Source-Data-Row nodes (:124-214).  Spark-first version:
+
+- parquet/csv/json/orc go straight through ``spark.read`` (distributed,
+  pushdown-capable);
+- pandas-only formats (sas7bdat, xpt, xlsx, rda) are gated behind
+  import-tries and arrive via ``spark.createDataFrame(pandas_df)`` — they
+  are driver-local by nature (single file, no splittable codec);
+- ``load_folder`` is a glob scan, not a python loop (:255-275);
+- SAS/Unix date conversions (:338-379) are pure column expressions.
+
+Provenance columns ``_domain_ / _filename_ / _folder_`` are injected like
+the reference (:194-196).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COLCHARSBL = r"[^A-Za-z0-9_]+"  # column-name sanitize (file_data_loader.py:30)
+
+_SPARK_FORMATS = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".orc": "orc",
+}
+_PANDAS_FORMATS = {".sas7bdat", ".xpt", ".xls", ".xlsx", ".rda"}
+
+
+def sanitize_columns(df: DataFrame, pattern: str = COLCHARSBL) -> DataFrame:
+    """Column-name sanitize regex (file_data_loader.py:88)."""
+    mapping = {c: re.sub(pattern, "_", c) for c in df.columns}
+    return df.withColumnsRenamed({k: v for k, v in mapping.items() if k != v})
+
+
+def read_file(
+    spark: SparkSession,
+    folder: str,
+    filename: str,
+    query: str | None = None,
+    metadataonly: bool = False,
+    test_run: bool = False,
+    colcharsbl: str = COLCHARSBL,
+    **reader_options,
+) -> DataFrame:
+    """S1: format-dispatched read with the reference's modes.
+
+    ``query`` is a SQL boolean expression pushed into the scan (the
+    pandas ``df.query`` analog, file_data_loader.py:118-119);
+    ``metadataonly`` returns a 0-row frame carrying only the schema
+    (:96-99); ``test_run`` limits to 100 rows (:111-112).
+    """
+    path = os.path.join(folder, filename)
+    ext = os.path.splitext(filename)[1].lower()
+
+    if ext in _SPARK_FORMATS:
+        fmt = _SPARK_FORMATS[ext]
+        reader = spark.read
+        if fmt == "csv":
+            reader_options.setdefault("header", True)
+            reader_options.setdefault("inferSchema", True)
+        df = reader.format(fmt).options(**reader_options).load(path)
+    elif ext in _PANDAS_FORMATS:
+        df = _read_via_pandas(spark, path, ext)
+    else:
+        raise ValueError(f"unsupported extension {ext!r}")
+
+    df = sanitize_columns(df, colcharsbl)
+    if query:
+        df = df.filter(query)
+    if metadataonly:
+        return df.limit(0)
+    if test_run:
+        return df.limit(100)
+    return df
+
+
+def _read_via_pandas(spark: SparkSession, path: str, ext: str) -> DataFrame:
+    """Driver-local exotic formats, import-gated (no new deps installed)."""
+    import pandas as pd
+
+    if ext in (".sas7bdat", ".xpt"):
+        try:
+            pdf = pd.read_sas(path)
+        except ImportError as ex:  # pragma: no cover
+            raise NotImplementedError(f"SAS reader unavailable: {ex}") from ex
+    elif ext in (".xls", ".xlsx"):
+        try:
+            pdf = pd.read_excel(path)
+        except ImportError as ex:  # pragma: no cover
+            raise NotImplementedError(f"Excel reader unavailable: {ex}") from ex
+    elif ext == ".rda":  # pragma: no cover
+        raise NotImplementedError(
+            "rda requires pyreadr, not in this image (reference: "
+            "file_data_loader.py:56-66); gate at call site"
+        )
+    else:  # pragma: no cover
+        raise AssertionError(ext)
+    # NaN -> '' normalization for string cols (file_data_loader.py:115-116)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].fillna("")
+    return spark.createDataFrame(pdf)
+
+
+def load_file(
+    spark: SparkSession,
+    folder: str,
+    filename: str,
+    domain: str | None = None,
+    **kw,
+) -> DataFrame:
+    """S2: read + provenance columns (file_data_loader.py:194-196)."""
+    df = read_file(spark, folder, filename, **kw)
+    domain = (domain or os.path.splitext(filename)[0]).upper()
+    return (
+        df.withColumn("_domain_", F.lit(domain))
+        .withColumn("_filename_", F.lit(filename))
+        .withColumn("_folder_", F.lit(folder))
+    )
+
+
+def load_folder(
+    spark: SparkSession,
+    folder: str,
+    only_files: list[str] | None = None,
+    ext: str = ".parquet",
+    **kw,
+) -> dict[str, DataFrame]:
+    """S4: load a directory; one DataFrame per file (file_data_loader.py:255-275)."""
+    names = only_files or sorted(
+        f for f in os.listdir(folder) if f.endswith(ext)
+    )
+    return {os.path.splitext(n)[0]: load_file(spark, folder, n, **kw) for n in names}
+
+
+def load_file_distinct_values_for_columns(
+    spark: SparkSession, folder: str, filename: str, column_list: list[str], **kw
+) -> DataFrame:
+    """S6 (file_data_loader.py:314-336)."""
+    return read_file(spark, folder, filename, **kw).select(*column_list).distinct()
+
+
+# -- S7: SAS/Unix datetime conversions ---------------------------------------
+
+SAS_EPOCH = "1960-01-01"
+DATETIME_COL_RE = r"^.*DTM$"
+DATE_COL_RE = r"^.*DT$"
+
+
+def convert_datetime_columns(
+    df: DataFrame,
+    date_format: str = "sas",
+    datetime_col_regex: str = DATETIME_COL_RE,
+    date_col_regex: str = DATE_COL_RE,
+) -> DataFrame:
+    """S7: integer date/datetime columns -> real date/timestamp types by
+    column-name convention (file_data_loader.py:338-379). Pure column
+    expressions; the reference loops rows in pandas.
+
+    sas: days/seconds since 1960-01-01; unix: seconds since 1970-01-01.
+    """
+    dt_re = re.compile(datetime_col_regex)
+    d_re = re.compile(date_col_regex)
+    out = df
+    for c, dtype in df.dtypes:
+        if dtype not in ("int", "bigint", "double", "float"):
+            continue
+        if dt_re.match(c):
+            if date_format == "sas":
+                expr = F.timestamp_seconds(
+                    F.unix_timestamp(F.lit(SAS_EPOCH).cast("date").cast("timestamp"))
+                    + F.col(c).cast("long")
+                )
+            else:
+                expr = F.timestamp_seconds(F.col(c).cast("long"))
+            out = out.withColumn(c, expr)
+        elif d_re.match(c):
+            if date_format == "sas":
+                expr = F.date_add(F.lit(SAS_EPOCH).cast("date"), F.col(c).cast("int"))
+            else:
+                expr = F.date_add(F.lit("1970-01-01").cast("date"), F.col(c).cast("int"))
+            out = out.withColumn(c, expr)
+    return out
+
+
+def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
+    """S9/S10: relational pulls go straight through spark JDBC (the
+    reference routes them through a Hive cursor or Neo4j apoc.load.jdbc —
+    data_loaders/hive_data_loader.py:28-40, sql_server_data_loader.py:20-30).
+    Requires the JDBC driver jar on the classpath at deploy time."""
+    return spark.read.format("jdbc").options(url=url, dbtable=dbtable, **options).load()
