@@ -515,6 +515,92 @@ def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_returnflag").distinct()
 
 
+
+
+# ---------------------------------------------------------------------------
+# queries — set ops / pivot / packing / dedup-verified / skew
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U4: union/except/intersect of nation key sets by segment."""
+    cust = _t(spark, sf_dir, "customer")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    m = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey").distinct()
+    return (
+        b.union(m).distinct().withColumn("op", F.lit("union"))
+        .unionByName(b.exceptAll(m.intersect(b)).withColumn("op", F.lit("except")))
+        .unionByName(b.intersect(m).withColumn("op", F.lit("intersect")))
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_wide: orderpriority x orderstatus count matrix."""
+    from tab2neo_spark.operators.packing import pivot_wide
+
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").count()
+    return pivot_wide(
+        counts, ["o_orderpriority"], "o_orderstatus", "count", ["O", "F", "P"]
+    )
+
+
+def q_disjoint_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 return_disjoint: per-column distinct value sets in one row."""
+    from tab2neo_spark.operators.packing import disjoint_collect
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = disjoint_collect(li, ["l_returnflag", "l_linestatus"])
+    return out.select(
+        F.array_join("l_returnflag_values", "|").alias("returnflags"),
+        F.array_join("l_linestatus_values", "|").alias("linestatuses"),
+    )
+
+
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full LSH path: band candidates verified with exact Jaccard."""
+    from tab2neo_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "text", "doc_id", k=1, num_hashes=8,
+                               bands=4, threshold=0.7)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "text", "doc_id", bits=16, max_hamming=2)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tab2neo_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "embedding", "vec_id",
+                                    threshold=0.4, bucket_bits=2)
+
+
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew path: exact distinct-count per key via two-level salted agg."""
+    from tab2neo_spark.operators.skew import salted_count_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_count_distinct(li, ["l_suppkey"], "l_partkey", buckets=16)
+
+
+def q_term_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 term ordering: rank + NEXT linked-list over part brands."""
+    part = _t(spark, sf_dir, "part")
+    brands = part.select("p_brand").distinct()
+    w = Window.orderBy("p_brand")
+    return brands.select(
+        "p_brand",
+        F.row_number().over(w).alias("ord"),
+        F.lead("p_brand").over(w).alias("next_brand"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -531,6 +617,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refactor_nodes": q_refactor_nodes,
         "pipeline_derive": q_pipeline_derive,
         "stream_window": q_stream_window,
+        "set_ops": q_set_ops,
+        "pivot": q_pivot,
+        "disjoint_collect": q_disjoint_collect,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
+        "simhash_pairs": q_simhash_pairs,
+        "embed_neardup": q_embed_neardup,
+        "salted_distinct": q_salted_distinct,
+        "term_chain": q_term_chain,
         "refactor_links": q_refactor_links,
         "refactor_readback": q_refactor_readback,
         "kg_readback_optional": q_kg_readback_optional,
@@ -653,6 +747,108 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT {_URL} AS subj, m.class || ':' || m.canon AS obj
                 FROM m JOIN documents USING (doc_id)
             ) GROUP BY obj
+        """,
+        "set_ops": """
+            WITH b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+                 m AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+            SELECT c_nationkey, 'union' AS op FROM (SELECT * FROM b UNION SELECT * FROM m)
+            UNION ALL
+            SELECT c_nationkey, 'except' FROM (SELECT * FROM b EXCEPT SELECT * FROM m)
+            UNION ALL
+            SELECT c_nationkey, 'intersect' FROM (SELECT * FROM b INTERSECT SELECT * FROM m)
+        """,
+        "pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "disjoint_collect": """
+            SELECT (SELECT string_agg(DISTINCT l_returnflag, '|' ORDER BY l_returnflag) FROM lineitem) AS returnflags,
+                   (SELECT string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) FROM lineitem) AS linestatuses
+        """,
+        "dedup_minhash_verified": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, w AS shingle
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            seeds AS (SELECT unnest(range(8)) AS seed),
+            sig AS (
+                SELECT doc_id, seed, min(md5(shingle || '#' || seed)) AS minhash
+                FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+            ),
+            banded AS (
+                SELECT doc_id, (seed // 2)::INT AS band,
+                       md5(string_agg(minhash, '|' ORDER BY seed, minhash)) AS band_val
+                FROM sig GROUP BY doc_id, (seed // 2)::INT
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT c.a, c.b, count(*) AS common
+                FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+                GROUP BY c.a, c.b
+            )
+            SELECT a, b, round(common * 1.0 / (na.n + nb.n - common), 6) AS jaccard
+            FROM common JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
+            WHERE common * 1.0 / (na.n + nb.n - common) >= 0.7
+        """,
+        "simhash_pairs": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+                    FROM documents) WHERE w <> ''
+            ),
+            h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
+            votes AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h CROSS JOIN (SELECT unnest(range(16)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ),
+            fp AS (
+                SELECT doc_id,
+                       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+                FROM votes GROUP BY doc_id
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+            FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+            WHERE ((x.simhash & 255) = (y.simhash & 255)
+                   OR (x.simhash >> 8) = (y.simhash >> 8))
+              AND bit_count(xor(x.simhash, y.simhash)) <= 2
+        """,
+        "embed_neardup": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS b
+                FROM embeddings
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   floor(list_cosine_similarity(x.v, y.v) * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM e x JOIN e y ON x.b = y.b AND x.vec_id < y.vec_id
+            WHERE floor(list_cosine_similarity(x.v, y.v) * 1e6 + 0.5) / 1e6 >= 0.4
+        """,
+        "salted_distinct": """
+            SELECT l_suppkey, count(DISTINCT l_partkey) AS n_distinct_l_partkey
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "term_chain": """
+            WITH b AS (SELECT DISTINCT p_brand FROM part)
+            SELECT p_brand,
+                   row_number() OVER (ORDER BY p_brand) AS ord,
+                   lead(p_brand) OVER (ORDER BY p_brand) AS next_brand
+            FROM b
         """,
         "stream_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,

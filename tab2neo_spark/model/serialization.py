@@ -1,0 +1,190 @@
+"""Schema (de)serializers: LinkML dicts, arrows.app JSON, RDF/TTL.
+
+Reference surfaces:
+- ``export_model_to_linkml`` / ``create_model_from_linkml``
+  (model_managers/model_manager.py:1291-1374) — LinkML dict round-trip
+- ``load_arrows_dict`` (NI; call sites derivation_method.py:834,
+  tests/test_dp2.py:24) — arrows.app JSON graph import
+- ``export_model_ttl`` (model_manager.py:1090-1124) — RDF/TTL export
+
+All driver-side (the schema is metadata-scale). TTL is emitted by a
+deterministic template rather than rdflib (not a dependency gamble, and
+the output is diffable in tests).
+"""
+
+from __future__ import annotations
+
+from tab2neo_spark.model.metadata import MetadataModel, TermSpec
+
+# -- LinkML ------------------------------------------------------------------
+
+
+def export_model_to_linkml(model: MetadataModel, schema_id: str = "tab2neo_spark") -> dict:
+    """MetadataModel -> LinkML-shaped dict (classes with attributes =
+    outgoing relationships; is_a = SUBCLASS_OF)."""
+    parents = dict(model.subclass_of)
+    classes: dict[str, dict] = {}
+    for label, spec in model.classes.items():
+        entry: dict = {"description": f"class {label}"}
+        if spec.short_label:
+            entry["aliases"] = [spec.short_label]
+        if label in parents:
+            entry["is_a"] = parents[label]
+        attrs = {}
+        outgoing = [r for r in model.relationships if r.from_label == label]
+        type_counts: dict[str, int] = {}
+        for rel in outgoing:
+            type_counts[rel.relationship_type] = type_counts.get(rel.relationship_type, 0) + 1
+        for rel in outgoing:
+            # attribute names must be unique per class; a rel type reused
+            # toward several ranges (e.g. Page-MENTIONS->{4 classes}) gets
+            # a range-suffixed name with the true type kept in annotations
+            key = (
+                rel.relationship_type
+                if type_counts[rel.relationship_type] == 1
+                else f"{rel.relationship_type}__{rel.to_label}"
+            )
+            attrs[key] = {
+                "range": rel.to_label,
+                "annotations": {"relationship_type": rel.relationship_type},
+            }
+        if attrs:
+            entry["attributes"] = attrs
+        classes[label] = entry
+    return {"id": schema_id, "name": schema_id, "classes": classes}
+
+
+def create_model_from_linkml(linkml: dict) -> MetadataModel:
+    m = MetadataModel()
+    classes = linkml.get("classes", {})
+    for label, entry in classes.items():
+        aliases = entry.get("aliases") or [None]
+        m.create_class(label, short_label=aliases[0])
+    for label, entry in classes.items():
+        if entry.get("is_a"):
+            m.create_subclass(entry["is_a"], label)
+        for attr_name, attr in (entry.get("attributes") or {}).items():
+            rel_type = (attr.get("annotations") or {}).get("relationship_type", attr_name)
+            m.create_relationship(label, attr["range"], rel_type)
+    return m
+
+
+# -- arrows.app JSON -----------------------------------------------------------
+
+
+def load_arrows_dict(arrows: dict) -> MetadataModel:
+    """arrows.app export -> metadata model: nodes with label 'Class' become
+    classes; 'Term' nodes terms; relationships FROM/TO reify Relationship
+    nodes, SUBCLASS_OF edges build the hierarchy (the reference persists
+    methods and models in this shape)."""
+    m = MetadataModel()
+    node_by_id: dict[str, dict] = {n["id"]: n for n in arrows.get("nodes", [])}
+    for n in arrows.get("nodes", []):
+        labels = n.get("labels", [])
+        props = n.get("properties", {})
+        if "Class" in labels:
+            m.create_class(
+                props.get("label", n["id"]),
+                short_label=props.get("short_label"),
+                create=str(props.get("create", "")).lower() == "true",
+            )
+        elif "Term" in labels:
+            m.add_term(
+                TermSpec(
+                    class_label=props.get("Class", ""),
+                    codelist_code=props.get("Codelist Code", ""),
+                    term_code=props.get("Term Code", ""),
+                    rdfs_label=props.get("rdfs:label", ""),
+                )
+            )
+    for r in arrows.get("relationships", []):
+        frm = node_by_id.get(r["fromId"], {}).get("properties", {}).get("label")
+        to = node_by_id.get(r["toId"], {}).get("properties", {}).get("label")
+        rel_type = r.get("type", "")
+        if not frm or not to:
+            continue
+        if rel_type == "SUBCLASS_OF":
+            m.create_subclass(to, frm)
+        else:
+            m.create_relationship(frm, to, rel_type or None)
+    return m
+
+
+def export_arrows_dict(model: MetadataModel) -> dict:
+    nodes = []
+    rels = []
+    ids = {}
+    for i, (label, spec) in enumerate(sorted(model.classes.items())):
+        nid = f"n{i}"
+        ids[label] = nid
+        props = {"label": label}
+        if spec.short_label:
+            props["short_label"] = spec.short_label
+        if spec.create:
+            props["create"] = "true"
+        nodes.append({"id": nid, "labels": ["Class"], "properties": props})
+    k = 0
+    for r in model.relationships:
+        if r.from_label in ids and r.to_label in ids:
+            rels.append(
+                {"id": f"r{k}", "fromId": ids[r.from_label], "toId": ids[r.to_label],
+                 "type": r.relationship_type, "properties": {}}
+            )
+            k += 1
+    for child, parent in model.subclass_of:
+        if child in ids and parent in ids:
+            rels.append(
+                {"id": f"r{k}", "fromId": ids[child], "toId": ids[parent],
+                 "type": "SUBCLASS_OF", "properties": {}}
+            )
+            k += 1
+    return {"nodes": nodes, "relationships": rels}
+
+
+# -- RDF / TTL -----------------------------------------------------------------
+
+TTL_PREFIXES = """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix t2s: <urn:tab2neo-spark:model/> .
+"""
+
+
+def _ttl_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def _uri_frag(s: str) -> str:
+    return "".join(ch if ch.isalnum() or ch in "_-" else "_" for ch in s)
+
+
+def export_model_ttl(model: MetadataModel, include_terms: bool = False) -> str:
+    """Deterministic Turtle export of the schema subgraph
+    (model_manager.py:1090-1124 analog)."""
+    lines = [TTL_PREFIXES]
+    for label in sorted(model.classes):
+        spec = model.classes[label]
+        frag = _uri_frag(label)
+        lines.append(f't2s:{frag} a owl:Class ; rdfs:label "{_ttl_escape(label)}" .')
+        if spec.short_label:
+            lines.append(
+                f't2s:{frag} rdfs:comment "short_label={_ttl_escape(spec.short_label)}" .'
+            )
+    for child, parent in sorted(model.subclass_of):
+        lines.append(f"t2s:{_uri_frag(child)} rdfs:subClassOf t2s:{_uri_frag(parent)} .")
+    for r in sorted(model.relationships, key=lambda r: (r.from_label, r.to_label)):
+        frag = _uri_frag(f"{r.from_label}_{r.relationship_type}_{r.to_label}")
+        lines.append(
+            f"t2s:{frag} a owl:ObjectProperty ; "
+            f"rdfs:domain t2s:{_uri_frag(r.from_label)} ; "
+            f"rdfs:range t2s:{_uri_frag(r.to_label)} ; "
+            f'rdfs:label "{_ttl_escape(r.relationship_type)}" .'
+        )
+    if include_terms:
+        for t in sorted(model.terms, key=lambda t: (t.codelist_code, t.term_code)):
+            frag = _uri_frag(f"term_{t.codelist_code}_{t.term_code}")
+            lines.append(
+                f't2s:{frag} a t2s:Term ; rdfs:label "{_ttl_escape(t.rdfs_label)}" ; '
+                f"t2s:inClass t2s:{_uri_frag(t.class_label)} ."
+            )
+    return "\n".join(lines) + "\n"
