@@ -122,6 +122,7 @@ class GraphStore:
         if self.stage_done(run_id, stage):
             return self._read_ckpt(run_id, stage)
 
+        self._save_table_meta(table, partition_by or [])
         t0 = time.time()
         out = df.withColumn("run_id", F.lit(run_id))
         path = self.path(table)
@@ -160,6 +161,22 @@ class GraphStore:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    # -- table metadata (partition layout survives rollback rewrites) ---------
+
+    def _meta_file(self, table: str) -> str:
+        return f"{self.root}/{table}__meta.json"
+
+    def _save_table_meta(self, table: str, partition_by: list[str]) -> None:
+        if not os.path.exists(self._meta_file(table)):
+            with open(self._meta_file(table), "w") as f:
+                json.dump({"partition_by": partition_by}, f)
+
+    def table_partitioning(self, table: str) -> list[str]:
+        if os.path.exists(self._meta_file(table)):
+            with open(self._meta_file(table)) as f:
+                return json.load(f).get("partition_by", [])
+        return []
+
     # -- rollback ----------------------------------------------------------------
 
     def rollback_run(self, run_id: str, tables: list[str]) -> None:
@@ -173,7 +190,14 @@ class GraphStore:
                 continue
             kept = self.spark.read.parquet(path).filter(F.col("run_id") != run_id)
             tmp = path + "__rollback_tmp"
-            kept.write.mode("overwrite").parquet(tmp)
+            writer = kept.write.mode("overwrite")
+            # preserve the table's partition layout — a rewrite that drops
+            # partitioning would silently kill partition pruning for every
+            # subsequent readback
+            parts = self.table_partitioning(table)
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(tmp)
             self._swap_dirs(tmp, path)
         for rec in self.checkpoints(run_id):
             rec["status"] = "rolled_back"

@@ -1,0 +1,115 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in the executed plan, not assumed (filter/projection pushdown,
+partition pruning, broadcast joins, zero-shuffle triple path, whole-stage
+codegen)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_scan_filter_and_projection_pushdown(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+    # column pruning: the 16-column table reads only 2 columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity"
+    }
+
+
+def test_store_partition_pruning_survives_rollback(spark, sf_dir, tmp_path):
+    """Readback filters on class/rel_type/pred must prune partitions —
+    including after a rollback rewrite (regression: rollback used to drop
+    the partition layout)."""
+    from tab2neo_spark.datagen import pages_from_documents
+    from tab2neo_spark.kg.construct import construct_kg
+    from tab2neo_spark.kg.materialize import GraphStore, materialize_kg
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    kg = construct_kg(spark, pages_from_documents(spark, sf_dir).limit(50), unique_urls=True)
+    materialize_kg(store, kg, "r1")
+    kg2 = construct_kg(spark, pages_from_documents(spark, sf_dir).limit(80), unique_urls=True)
+    materialize_kg(store, kg2, "r2")
+    store.rollback_run("r2", ["nodes", "edges", "triples"])
+
+    plan = _plan(store.read("nodes").filter(F.col("class") == "Operator"))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "Operator" in m.group(1), plan[:800]
+
+
+def test_mentions_join_is_broadcast(spark, sf_dir):
+    from tab2neo_spark.extract.mentions import detect_mentions_with_pos
+    from tab2neo_spark.model.gazetteer import gazetteer_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(detect_mentions_with_pos(docs, gazetteer_df(spark), id_col="doc_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triple_path_has_no_shuffle_under_unique_urls(spark, sf_dir):
+    """The scale claim: pages -> MENTIONS triples is a narrow pipeline.
+    No Exchange may appear in the t_mentions branch."""
+    from tab2neo_spark.datagen import pages_from_documents
+    from tab2neo_spark.kg.construct import construct_kg
+
+    pages = pages_from_documents(spark, sf_dir).limit(50)
+    kg = construct_kg(spark, pages, unique_urls=True, persist_intermediate=False)
+    mentions_triples = kg.triples.filter(F.col("pred") == "MENTIONS")
+    plan = _plan(mentions_triples)
+    assert "Exchange" not in plan, plan[:1200]
+
+
+def test_small_dim_join_goes_broadcast(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plan = _plan(cust.join(nation, cust.c_nationkey == nation.n_nationkey))
+    # AQE/stats pick broadcast for the 25-row dim without an explicit hint
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_wholestage_codegen_covers_scoring_pass(spark, sf_dir):
+    """Text-quality scoring must fuse into the scan (single codegen stage,
+    no Python)."""
+    from tab2neo_spark.operators.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(quality_score(docs, "text"))
+    # '*(n)' marks whole-stage-codegen'd operators in executedPlan strings
+    assert re.search(r"\*\(\d+\)", plan), plan[:400]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extraction_is_arrow_not_row_python(spark, sf_dir):
+    from tab2neo_spark.datagen import pages_from_documents
+    from tab2neo_spark.extract.html import extract_text_udf
+
+    pages = pages_from_documents(spark, sf_dir).limit(10)
+    plan = _plan(pages.select(extract_text_udf(F.col("html")).alias("t")))
+    assert "ArrowEvalPython" in plan      # vectorized
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    from tab2neo_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(cosine_topk(emb, "embedding", "vec_id", [1.0] + [0.0] * 63, k=5))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global sort
