@@ -109,6 +109,14 @@ def q_kg_readback_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp.get_data(["Page", "Engine**"])
 
 
+def q_kg_readback_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 labels_to_pack: per-page sorted operator list (joined to string
+    for engine-portable comparison)."""
+    dp = _kg_provider(spark, sf_dir)
+    out = dp.get_data(["Page", "Operator"], labels_to_pack=["Operator"])
+    return out.select("Page", F.array_join("Operators", "|").alias("Operators"))
+
+
 def q_kg_readback_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = _kg_provider(spark, sf_dir)
     return dp.get_data(
@@ -629,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refactor_readback": q_refactor_readback,
         "kg_readback_optional": q_kg_readback_optional,
         "kg_readback_exists": q_kg_readback_exists,
+        "kg_readback_pack": q_kg_readback_pack,
         "where_range": q_where_range,
         "where_exists": q_where_exists,
         "where_not_exists": q_where_not_exists,
@@ -897,6 +906,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN
                 (SELECT DISTINCT doc_id, canon FROM m WHERE class = 'Engine') e
             USING (doc_id)
+        """,
+        "kg_readback_pack": f"""
+            {mentions_cte}
+            SELECT {_URL} AS "Page",
+                   string_agg(DISTINCT m.canon, '|' ORDER BY m.canon) AS "Operators"
+            FROM m JOIN documents USING (doc_id)
+            WHERE m.class = 'Operator'
+            GROUP BY 1
         """,
         "kg_readback_exists": f"""
             {mentions_cte}

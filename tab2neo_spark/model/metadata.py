@@ -161,6 +161,28 @@ class MetadataModel:
             for lb in labels
         ]
 
+    def build_terms_for_distinct_values(
+        self, df: DataFrame, class_label: str, codelist_code: str, value_col: str = "rdfs_label"
+    ) -> list[TermSpec]:
+        """A8 (super_method.py:469-540): one Term per distinct value of a
+        class, ordered deterministically. Distinct values of a controlled
+        class are metadata-scale by definition -> collected to the driver."""
+        values = sorted(
+            r[0] for r in df.select(value_col).distinct().collect() if r[0] is not None
+        )
+        out = []
+        for i, v in enumerate(values):
+            t = TermSpec(
+                class_label=class_label,
+                codelist_code=codelist_code,
+                term_code=str(v),
+                rdfs_label=str(v),
+                order=i + 1,
+            )
+            self.add_term(t)
+            out.append(t)
+        return out
+
     # -- schema-from-data (model_manager.py:1245-1289) -----------------------
 
     @classmethod

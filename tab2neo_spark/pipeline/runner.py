@@ -42,7 +42,7 @@ from tab2neo_spark.operators.predicates import apply_where_map
 from tab2neo_spark.pipeline.registry import get_transform
 from tab2neo_spark.schema import node_uri_col
 
-WRITE_ACTIONS = {"link", "assign_class"}
+WRITE_ACTIONS = {"link", "assign_class", "link_stat"}
 
 
 def _coerce_filter_value(v: Any) -> Any:
@@ -81,8 +81,11 @@ class DerivationMethod:
     VALID_TYPES = {
         "get_data", "filter", "run_script", "call_api", "run_sql", "build_uri",
         "assign_class", "link", "branch_save", "branch_load", "branch_combine",
-        "apply_stat",
+        "apply_stat", "link_stat",
     }
+    # supermethods macro-expand into primitive actions at compile time,
+    # exactly like the reference (derivation_method/super_method.py)
+    SUPERMETHODS = {"decode", "subject_level_link"}
 
     def __init__(
         self,
@@ -93,10 +96,47 @@ class DerivationMethod:
     ):
         self.spark = spark
         self.name = spec.get("name", "method")
-        self.actions = list(spec.get("actions", []))
+        self.actions = [
+            expanded
+            for a in spec.get("actions", [])
+            for expanded in self._expand(a)
+        ]
         self.provider = provider
         self.source_df = source_df
         self.validate()
+
+    @classmethod
+    def _expand(cls, a: dict) -> list[dict]:
+        t = a.get("type")
+        if t == "decode":
+            # D10 decode (super_method.py:281-388): remap term values along
+            # SAME_AS pairs into the target codelist, then link the decoded
+            # value as a class
+            mapping = {x: y for x, y in a.get("same_as", [])}
+            out = [
+                {"type": "run_script", "script": "remap_term_values",
+                 "params": {"column": a["column"], "mapping": mapping,
+                            "new_column": a.get("new_column", a["column"])}},
+            ]
+            if a.get("class"):
+                out.append({"type": "assign_class", "class": a["class"],
+                            "value_column": a.get("new_column", a["column"])})
+            return out
+        if t == "subject_level_link":
+            # D10 subject_level_link (super_method.py:76-278): derive a
+            # subject-level value class and link each subject to its value
+            cls_label = a["class"]
+            return [
+                {"type": "assign_class", "class": a.get("subject_class", "Subject"),
+                 "value_column": a["subject_column"]},
+                {"type": "assign_class", "class": cls_label,
+                 "value_column": a["value_column"]},
+                {"type": "link",
+                 "relationship_type": a.get("relationship_type", cls_label),
+                 "from_id": f"_id_{a.get('subject_class', 'Subject')}",
+                 "to_id": f"_id_{cls_label}"},
+            ]
+        return [a]
 
     def validate(self) -> None:
         """Structural validation (validate_method_dict parity,
@@ -206,6 +246,33 @@ class DerivationMethod:
             )
             res.new_edges.append(edges)
             return df
+        if t == "link_stat":
+            # D7 LinkStat (action.py:1909-2010): one stat node per
+            # dimension combination (uri = deterministic key of the dims),
+            # linked from each dimension's node id column
+            label = a["class"]
+            dims = a["uri_by"]
+            uri = node_uri_col(F.lit(label), *[F.col(c).cast("string") for c in dims])
+            with_uri = df.withColumn("_stat_uri", uri)
+            stat_nodes = (
+                with_uri.select(
+                    F.xxhash64(F.col("_stat_uri")).alias("node_id"),
+                    F.lit(label).alias("class"),
+                    F.col(a["value_col"]).cast("string").alias("rdfs_label"),
+                    F.col("_stat_uri").alias("uri"),
+                    F.lit(None).cast("map<string,string>").alias("props"),
+                ).dropDuplicates(["node_id"])
+            )
+            res.new_nodes.append(stat_nodes)
+            for dim_id_col in a.get("link_from", []):
+                res.new_edges.append(
+                    with_uri.select(
+                        F.col(dim_id_col).alias("src"),
+                        F.lit(a.get("relationship_type", label)).alias("rel_type"),
+                        F.xxhash64(F.col("_stat_uri")).alias("dst"),
+                    ).filter(F.col("src").isNotNull()).dropDuplicates()
+                )
+            return with_uri.drop("_stat_uri")
         if t == "branch_save":
             res.branches[a["name"]] = df
             return df

@@ -132,7 +132,12 @@ class DataProvider:
         use_shortlabel: bool = False,
         include_ids: bool = False,
         return_nodeid: bool = False,
+        labels_to_pack: Sequence[str] | None = None,
     ) -> DataFrame:
+        """``labels_to_pack`` (A1, query_builder.py:676-798): listed classes
+        are collected into a sorted distinct list per remaining-class row
+        instead of multiplying rows — the reference's
+        ``collect(distinct x.rdfs:label)`` packing."""
         where_map = where_map or {}
 
         # 1. strip markers (data_provider.py:124-139)
@@ -211,6 +216,16 @@ class DataProvider:
             if include_ids or return_nodeid:
                 out_cols.append(F.col(f"_id_{lb}").alias(f"_id_{name}"))
         result = result.select(*out_cols)
+
+        # A1 packing: collect packed classes into per-row sorted lists
+        if labels_to_pack:
+            pack = [lb for lb in labels_to_pack if lb in clean and lb not in excluded]
+            keys = [c for c in result.columns if c not in pack and not c.startswith("_id_")]
+            aggs = [
+                F.sort_array(F.collect_set(lb)).alias(f"{lb}s") for lb in pack
+            ]
+            result = result.groupBy(*keys).agg(*aggs)
+
         if limit is not None:
             result = result.limit(limit)
         return result

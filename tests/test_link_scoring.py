@@ -1,0 +1,87 @@
+"""Embedding entity-link scoring (north star: broadcast joins +
+groupBy.applyInPandas) vs a pure-pandas oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tab2neo_spark.kg.link import _hash_vec, link_entities
+
+
+@pytest.fixture(scope="module")
+def candidate_map(spark):
+    # ambiguous surfaces: 'order' and 'table' each map to two entities
+    rows = [
+        ("order", "Operator:sort"),
+        ("order", "Structure:sequence"),
+        ("table", "Structure:table"),
+        ("table", "Concept:furniture"),
+        ("spark", "Engine:spark"),
+    ]
+    return spark.createDataFrame(rows, "surface string, entity string")
+
+
+@pytest.fixture(scope="module")
+def pages_text(spark):
+    rows = [
+        ("u1", "the order of the table scan"),
+        ("u2", "spark runs a table join"),
+        ("u3", "no relevant words here"),
+    ]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def oracle_links(pages, cand_rows):
+    by_surface = {}
+    for s, e in cand_rows:
+        by_surface.setdefault(s, []).append(e)
+    import re
+
+    out = set()
+    for url, text in pages:
+        pv = _hash_vec(text)
+        words = set(re.split(r"[^a-z0-9]+", text.lower()))
+        for s, ents in by_surface.items():
+            if s not in words:
+                continue
+            scored = []
+            for e in sorted(ents):
+                ev = _hash_vec(f"entity:{e}")
+                scored.append((round(float(ev @ pv), 6), e))
+            best_score = max(x[0] for x in scored)
+            best = min(e for sc, e in scored if sc == best_score)
+            out.add((url, s, best))
+    return out
+
+
+def test_link_entities_matches_oracle(spark, pages_text, candidate_map):
+    got = link_entities(spark, pages_text, candidate_map)
+    got_set = {(r["url"], r["surface"], r["entity"]) for r in got.collect()}
+    pages = [(r["url"], r["text"]) for r in pages_text.collect()]
+    cands = [(r["surface"], r["entity"]) for r in candidate_map.collect()]
+    assert got_set == oracle_links(pages, cands)
+    assert len(got_set) > 0
+    # exactly one resolved entity per (url, surface)
+    assert len(got_set) == got.select("url", "surface").distinct().count()
+
+
+def test_scores_are_cosines(spark, pages_text, candidate_map):
+    got = link_entities(spark, pages_text, candidate_map).collect()
+    for r in got:
+        pv = _hash_vec([t for u, t in [("u1", "the order of the table scan"),
+                                       ("u2", "spark runs a table join"),
+                                       ("u3", "no relevant words here")] if u == r["url"]][0])
+        ev = _hash_vec(f"entity:{r['entity']}")
+        assert abs(r["score"] - round(float(ev @ pv), 6)) < 1e-9
+
+
+def test_deterministic_across_runs(spark, pages_text, candidate_map):
+    a = {tuple(r) for r in link_entities(spark, pages_text, candidate_map).collect()}
+    b = {tuple(r) for r in link_entities(spark, pages_text, candidate_map).collect()}
+    assert a == b
+
+
+def test_hash_vec_unit_norm():
+    v = _hash_vec("anything")
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12

@@ -161,3 +161,65 @@ def test_apply_stat_action(spark, test_data):
     rows = {(r["Study"], r["Sex"], r["n_Age"]) for r in res.df.collect()}
     assert ("STUDY1", None, 3) in rows       # rolled-up
     assert ("STUDY1", "M", 2) in rows        # per-sex
+
+
+def test_decode_supermethod_expansion(spark, test_data):
+    """D10 decode: SAME_AS remap + class assignment, macro-expanded."""
+    spec = {
+        "name": "dec",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "decode", "column": "Sex", "new_column": "SexDecoded",
+             "same_as": [["M", "Male"], ["F", "Female"]], "class": "SexDecoded"},
+        ],
+    }
+    m = DerivationMethod(spark, spec, source_df=test_data)
+    assert [a["type"] for a in m.actions] == ["get_data", "run_script", "assign_class"]
+    res = m.apply()
+    assert {r["SexDecoded"] for r in res.df.collect()} == {"Male", "Female"}
+    assert res.new_nodes[0].count() == 2
+
+
+def test_subject_level_link_supermethod(spark, test_data):
+    spec = {
+        "name": "sll",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "subject_level_link", "class": "Age",
+             "subject_column": "Subject", "value_column": "Age"},
+        ],
+    }
+    res = DerivationMethod(spark, spec, source_df=test_data).apply()
+    assert len(res.new_edges) == 1 and res.new_edges[0].count() == 3
+
+
+def test_link_stat_action(spark, test_data):
+    """D7: stat node per dimension combo + edges from dimension ids."""
+    spec = {
+        "name": "ls",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Study", "value_column": "Study"},
+            {"type": "run_script", "script": "group_by",
+             "params": {"by": ["Study", "_id_Study"], "value_cols": ["Age"], "stats": ["mean"]}},
+            {"type": "link_stat", "class": "Mean Age", "uri_by": ["Study"],
+             "value_col": "mean_Age", "link_from": ["_id_Study"]},
+        ],
+    }
+    res = DerivationMethod(spark, spec, source_df=test_data).apply()
+    stat_nodes = res.new_nodes[1]
+    assert stat_nodes.count() == 1
+    row = stat_nodes.collect()[0]
+    assert row["rdfs_label"] == "30.0" and row["uri"] == "Mean Age_by/STUDY1"
+    assert res.new_edges[0].count() == 1
+
+
+def test_build_terms_for_distinct_values(spark, test_data):
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    m = MetadataModel()
+    terms = m.build_terms_for_distinct_values(
+        test_data.selectExpr("Sex as rdfs_label"), "Sex", "CL.SEX"
+    )
+    assert [(t.term_code, t.order) for t in terms] == [("F", 1), ("M", 2)]
+    assert len(m.terms) == 2

@@ -122,3 +122,15 @@ def test_canonicalized_values_in_readback(provider):
     canon = canonical_lookup()
     assert "sort" not in vals
     assert canon["sort"] in vals
+
+
+def test_labels_to_pack(provider, expected_mentions):
+    """A1 packing: one row per page, operators collected sorted."""
+    got = provider.get_data(["Page", "Operator"], labels_to_pack=["Operator"])
+    assert got.columns == ["Page", "Operators"]
+    rows = {r["Page"]: list(r["Operators"]) for r in got.collect()}
+    exp = {}
+    for u, o in expected_mentions:
+        if o.startswith("Operator:"):
+            exp.setdefault(u, set()).add(o.split(":", 1)[1])
+    assert rows == {u: sorted(v) for u, v in exp.items()}
