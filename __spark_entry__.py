@@ -597,6 +597,23 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_distinct(li, ["l_suppkey"], "l_partkey", buckets=16)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (window formulation): each 'error' event picks up the
+    value of the user's most recent prior 'signup' event."""
+    from tab2neo_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.round("value", 2).alias("signup_value"),
+    )
+    return asof_join(errors, signups, on="ts", by=["user_id"],
+                     value_cols=["signup_value"])
+
+
 def q_term_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 term ordering: rank + NEXT linked-list over part brands."""
     part = _t(spark, sf_dir, "part")
@@ -633,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "salted_distinct": q_salted_distinct,
         "term_chain": q_term_chain,
+        "asof_join": q_asof_join,
         "refactor_links": q_refactor_links,
         "refactor_readback": q_refactor_readback,
         "kg_readback_optional": q_kg_readback_optional,
@@ -851,6 +869,14 @@ def oracle_sql() -> dict[str, str]:
         "salted_distinct": """
             SELECT l_suppkey, count(DISTINCT l_partkey) AS n_distinct_l_partkey
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id, e.ts, s.signup_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, round(value, 2) AS signup_value
+                  FROM events WHERE event_type = 'signup') s
+            ON e.user_id = s.user_id AND e.ts >= s.ts
         """,
         "term_chain": """
             WITH b AS (SELECT DISTINCT p_brand FROM part)

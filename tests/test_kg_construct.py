@@ -93,3 +93,20 @@ def test_kg_idempotent_rerun(spark, sf_dir):
     t1 = {(r["subj"], r["pred"], r["obj"]) for r in construct_kg(spark, pages).triples.collect()}
     t2 = {(r["subj"], r["pred"], r["obj"]) for r in construct_kg(spark, pages).triples.collect()}
     assert t1 == t2 and len(t1) > 0
+
+
+def test_triple_pr_at_scale(spark):
+    """BASELINE gate: P/R >= 0.95 vs the reference-semantics oracle at the
+    5k-document scale (FIXTURES.md §4). Run against sf0.1 regardless of the
+    unit-test SF so the scale is real."""
+    pages = pages_from_documents(spark, "/root/testdata/sf0.1").cache()
+    kg = construct_kg(spark, pages, unique_urls=True)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in kg.triples.collect()}
+    pdf = pages.select("url", "html").toPandas()
+    pdf["html"] = pdf["html"].map(bytes)
+    expected = oracle_triples(pdf)
+    p, r = precision_recall(got, expected)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    # in fact exact:
+    assert (p, r) == (1.0, 1.0)
+    pages.unpersist()
