@@ -138,3 +138,39 @@ def test_source_catalog_lifecycle(spark, sf_dir, tmp_path):
     assert [r["domain"] for r in cat.tables().collect()] == ["NATION"]
     cat.delete_source_data()
     assert cat.read().count() == 0
+
+
+def test_stateful_streaming_sessionization(spark, tmp_path):
+    """applyInPandasWithState: streamed sessions equal the batch
+    lag/cumsum sessionization for fully-closed sessions."""
+    import datetime
+
+    from tab2neo_spark.streaming.sessions import sessionize_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: two sessions (3 events, gap, 2 events); user 2: one session
+    for mins in (0, 5, 10, 120, 125):
+        rows.append((1, base + datetime.timedelta(minutes=mins)))
+    for mins in (0, 40):
+        rows.append((2, base + datetime.timedelta(minutes=mins)))
+    drop = str(tmp_path / "events_drop")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(drop)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp").parquet(drop)
+    )
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("sessions_out").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"].minute, r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # closed during the run: user1's first session (gap 110min > 30min) and
+    # user2's first session (gap 40min). Open tails emit on timeout only.
+    assert (1, 0, 3) in got
+    assert (2, 0, 1) in got
