@@ -55,11 +55,15 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        # count() materializes the whole plan without driver-collecting rows
-        fn(spark, SF_DIR).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        try:
+            # count() materializes the whole plan without collecting rows
+            fn(spark, SF_DIR).count()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+        except Exception as ex:  # a broken query must not sink the bench
+            timings[name] = -1.0
+            print(f"bench: query {name} failed: {ex}", file=sys.stderr)
 
     result = {
         "metric": "kg_headline_queries_wall",
@@ -74,18 +78,22 @@ def main() -> None:
         scaling: dict[str, object] = {}
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
         for cores in SCALING_CORES:
-            proc = subprocess.run(
-                [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                              "tools", "kg_throughput.py"),
-                 str(cores), str(SCALING_PAGES)],
-                capture_output=True, text=True, timeout=1800, env=env,
-            )
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-            scaling[f"local_{cores}"] = json.loads(line)
+            try:
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tools", "kg_throughput.py"),
+                     str(cores), str(SCALING_PAGES)],
+                    capture_output=True, text=True, timeout=900, env=env,
+                )
+                line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+                scaling[f"local_{cores}"] = json.loads(line)
+            except Exception as ex:  # timeout/parse — report partial scaling
+                scaling[f"local_{cores}"] = {"error": str(ex)[:200]}
         # N -> 4N pairs present in the configured core list
         for lo, hi in [(c, c * 4) for c in SCALING_CORES if c * 4 in SCALING_CORES]:
-            dlo = scaling[f"local_{lo}"].get("docs_per_sec")
-            dhi = scaling[f"local_{hi}"].get("docs_per_sec")
+            dlo = scaling.get(f"local_{lo}", {}).get("docs_per_sec")
+            dhi = scaling.get(f"local_{hi}", {}).get("docs_per_sec")
             if dlo and dhi:
                 scaling[f"efficiency_{lo}_to_{hi}"] = round(dhi / (4.0 * dlo), 3)
         result["kg_throughput_scaling"] = scaling
