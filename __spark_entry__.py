@@ -597,6 +597,55 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_distinct(li, ["l_suppkey"], "l_partkey", buckets=16)
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 rollup variant: hierarchical subtotals region -> nation."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        joined.rollup("n_regionkey", "n_name")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL distinct, approx quantiles) — genuinely
+    non-SQL-reproducible across engines, so no oracle (rows-only check):
+    sketch results are implementation-defined."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): closed
+    user sessions from the events stream. Streaming state semantics are
+    not SQL-expressible -> no oracle (rows-only check)."""
+    import uuid
+
+    from tab2neo_spark.streaming.sessions import sessionize_stream
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    out = sessionize_stream(stream, gap_seconds=1800)
+    qname = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    # ProcessingTimeTimeout keeps the query alive to fire state timeouts;
+    # drain what's available deterministically, then stop
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT user_id, session_start, session_end, n_events FROM {qname}")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (window formulation): each 'error' event picks up the
     value of the user's most recent prior 'signup' event."""
@@ -651,6 +700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_distinct": q_salted_distinct,
         "term_chain": q_term_chain,
         "asof_join": q_asof_join,
+        "rollup": q_rollup,
+        "approx_stats": q_approx_stats,
+        "stream_sessionize": q_stream_sessionize,
         "refactor_links": q_refactor_links,
         "refactor_readback": q_refactor_readback,
         "kg_readback_optional": q_kg_readback_optional,
@@ -869,6 +921,12 @@ def oracle_sql() -> dict[str, str]:
         "salted_distinct": """
             SELECT l_suppkey, count(DISTINCT l_partkey) AS n_distinct_l_partkey
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "rollup": """
+            SELECT n_regionkey, n_name, count(*) AS n_cust,
+                   round(sum(c_acctbal), 2) AS sum_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_regionkey, n_name)
         """,
         "asof_join": """
             SELECT e.event_id, e.user_id, e.ts, s.signup_value

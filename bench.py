@@ -50,6 +50,13 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=CPUS)
     qs = entrymod.queries()
 
+    # warmup at the smallest SF: absorbs JIT/codegen/python-worker spinup so
+    # headline numbers measure the queries, not process startup
+    try:
+        qs["kg_triples"](spark, "/root/testdata/sf0.001").count()
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

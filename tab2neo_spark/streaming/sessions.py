@@ -26,13 +26,17 @@ def sessionize_stream(
     gap_seconds: int = 1800,
     ts_col: str = "ts",
     key_col: str = "user_id",
+    straggler_timeout: bool = False,
 ) -> DataFrame:
     """Streaming sessionization: emits one row per CLOSED session.
 
     Sessions close when a later event for the same user arrives more than
-    ``gap_seconds`` after the previous one, or when the group times out
-    (end of stream for availableNow runs).
-    """
+    ``gap_seconds`` after the previous one. ``straggler_timeout=True``
+    additionally emits open sessions after 60s of processing-time silence
+    — for LONG-RUNNING deployments only: a processing-time timeout keeps
+    the query permanently busy (each batch's timeouts schedule the next
+    batch), so drain-style runs (availableNow + processAllAvailable) must
+    leave it off or they never quiesce."""
     import pandas as pd
 
     gap_us = gap_seconds * 1_000_000
@@ -72,7 +76,8 @@ def sessionize_stream(
             else:
                 last, n = t, n + 1
         state.update((start, last, n))
-        state.setTimeoutDuration(60_000)
+        if straggler_timeout:
+            state.setTimeoutDuration(60_000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -88,5 +93,9 @@ def sessionize_stream(
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if straggler_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

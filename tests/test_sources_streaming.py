@@ -165,7 +165,8 @@ def test_stateful_streaming_sessionization(spark, tmp_path):
         out.writeStream.outputMode("append").format("memory")
         .queryName("sessions_out").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    q.processAllAvailable()
+    q.stop()
     got = {
         (r["user_id"], r["session_start"].minute, r["n_events"])
         for r in spark.sql("SELECT * FROM sessions_out").collect()
