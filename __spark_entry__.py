@@ -581,6 +581,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "text", "doc_id", bits=16, max_hamming=2)
 
 
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: label column = coarse cells; probe the 2 nearest-centroid
+    cells, exact top-k inside."""
+    from tab2neo_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [1.0] + [0.0] * 63
+    out = cosine_topk_ivf(emb, "embedding", "vec_id", "label", query,
+                          k=20, nprobe=2, dp=4)
+    return out.select("vec_id", "cos_sim")
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tab2neo_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -697,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
+        "embed_ann_ivf": q_embed_ann_ivf,
         "salted_distinct": q_salted_distinct,
         "term_chain": q_term_chain,
         "asof_join": q_asof_join,
@@ -905,6 +918,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((x.simhash & 255) = (y.simhash & 255)
                    OR (x.simhash >> 8) = (y.simhash >> 8))
               AND bit_count(xor(x.simhash, y.simhash)) <= 2
+        """,
+        "embed_ann_ivf": f"""
+            WITH ex AS (
+                SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label, list(m ORDER BY i) AS centroid
+                FROM (SELECT label, i, avg(v) AS m FROM ex GROUP BY label, i)
+                GROUP BY label
+            ),
+            probe AS (
+                SELECT label FROM cent
+                ORDER BY list_cosine_similarity(centroid, [{_QVEC}]) DESC, label
+                LIMIT 2
+            )
+            SELECT vec_id,
+                   floor(list_cosine_similarity(embedding::DOUBLE[],
+                       [{_QVEC}]) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+            FROM embeddings
+            WHERE label IN (SELECT label FROM probe)
+            ORDER BY cos_sim DESC, vec_id LIMIT 20
         """,
         "embed_neardup": """
             WITH e AS (

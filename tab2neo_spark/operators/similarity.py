@@ -91,6 +91,64 @@ def cosine_topk_lsh(
     return cosine_topk(filtered, vec_col, id_col, query, k, dp)
 
 
+def ivf_centroids(df: DataFrame, vec_col: str, cell_col: str) -> DataFrame:
+    """Per-cell centroid = element-wise mean of member vectors.
+
+    The inverted-file (IVF) coarse quantizer: any cell assignment works
+    (a clustering, a label column, a hash); centroids are one aggregation.
+    Mean per dimension via posexplode + groupBy — partial aggregation
+    keeps the shuffle at |cells| x dim rows."""
+    exploded = df.select(
+        F.col(cell_col), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    per_dim = exploded.groupBy(cell_col, "dim").agg(F.avg("v").alias("m"))
+    return (
+        per_dim.groupBy(cell_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    dp: int = 6,
+) -> DataFrame:
+    """IVF ANN: rank cells by centroid-query cosine, exact-search the top
+    ``nprobe`` cells only.
+
+    At corpus scale the cell column is a partition key, so probing
+    ``nprobe`` cells reads ``nprobe/|cells|`` of the data via partition
+    pruning — the IVF index IS the table layout. Recall < 1 when the true
+    neighbor lives in an unprobed cell (the standard IVF trade-off)."""
+    cents = ivf_centroids(df, vec_col, cell_col).collect()
+    import math
+
+    qv = [float(x) for x in query]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+
+    def cent_sim(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(c, qv)) / (cn * qn)
+
+    ranked = sorted(
+        ((cent_sim(r["centroid"]), r[cell_col]) for r in cents),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_cells = [cell for _, cell in ranked[:nprobe]]
+    return cosine_topk(
+        df.filter(F.col(cell_col).isin(probe_cells)), vec_col, id_col, query, k, dp
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -57,3 +57,22 @@ def test_salted_join_hot_keys_exact(spark):
         got.groupBy("attr").count().orderBy("attr").collect()
         == direct.groupBy("attr").count().orderBy("attr").collect()
     )
+
+
+def test_ivf_topk_probes_subset(spark):
+    """IVF: top-k from probed cells only; recall vs brute force reported."""
+    from pyspark.sql import functions as F
+
+    from tab2neo_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [1.0] + [0.0] * 63
+    exact = {r["vec_id"] for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()}
+    approx = cosine_topk_ivf(emb, "embedding", "vec_id", "label", q, k=10, nprobe=3)
+    got = {r["vec_id"] for r in approx.collect()}
+    assert len(got) == 10
+    # probed subset only: every result's label must be among 3 probed cells
+    labels = {r["label"] for r in emb.filter(F.col("vec_id").isin(list(got))).select("label").collect()}
+    assert len(labels) <= 3
+    # sanity: decent overlap with brute force on this data
+    assert len(got & exact) >= 3
