@@ -91,7 +91,7 @@ def main() -> None:
                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "tools", "kg_throughput.py"),
                      str(cores), str(SCALING_PAGES)],
-                    capture_output=True, text=True, timeout=900, env=env,
+                    capture_output=True, text=True, timeout=600, env=env,
                 )
                 line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
                 scaling[f"local_{cores}"] = json.loads(line)
