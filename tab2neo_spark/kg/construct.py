@@ -230,13 +230,24 @@ def construct_kg(
             .withColumn("props", F.lit(None).cast("map<string,string>"))
             .select("node_id", "class", "rdfs_label", "uri", "props")
         )
+        # Page nodes carry open properties (lang, crawl time) in the props
+        # map — the reference's node property maps; entity nodes keep only
+        # the canonical value
         page_nodes = (
-            pages.select(F.col("url").alias("rdfs_label"))
-            .distinct()  # a url crawled twice is still one Page node
+            pages.select(
+                F.col("url").alias("rdfs_label"),
+                F.map_filter(
+                    F.create_map(
+                        F.lit("lang"), F.col("lang"),
+                        F.lit("warc_ts"), F.col("warc_ts").cast("string"),
+                    ),
+                    lambda k, v: v.isNotNull(),
+                ).alias("props"),
+            )
+            .dropDuplicates(["rdfs_label"])  # a url crawled twice = one Page node
             .withColumn("class", F.lit("Page"))
             .withColumn("uri", S.node_uri_col(F.col("class"), F.col("rdfs_label")))
             .withColumn("node_id", F.xxhash64("class", "rdfs_label"))
-            .withColumn("props", F.lit(None).cast("map<string,string>"))
             .select("node_id", "class", "rdfs_label", "uri", "props")
         )
         return page_nodes.unionByName(entities)

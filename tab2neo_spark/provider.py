@@ -93,12 +93,23 @@ class DataProvider:
 
     # -- building blocks -----------------------------------------------------
 
-    def _class_df(self, label: str, where: Mapping[str, Any] | None) -> DataFrame:
+    def _class_df(
+        self,
+        label: str,
+        where: Mapping[str, Any] | None,
+        props: Sequence[str] = (),
+    ) -> DataFrame:
         """Nodes of one class, filtered early (predicate pushdown: the
-        filter lands directly on the partitioned nodes scan)."""
+        filter lands directly on the partitioned nodes scan). ``props``
+        pulls extra keys out of the open props map as ``<label>_<prop>``
+        columns (only_props beyond rdfs:label — P3)."""
         df = self.nodes.filter(F.col("class") == label).select(
             F.col("node_id").alias(f"_id_{label}"),
             F.col("rdfs_label").alias(label),
+            *[
+                F.col("props").getItem(p).alias(f"{label}_{p}")
+                for p in props
+            ],
         )
         if where:
             # conditions address the class's value column by property name;
@@ -133,6 +144,7 @@ class DataProvider:
         include_ids: bool = False,
         return_nodeid: bool = False,
         labels_to_pack: Sequence[str] | None = None,
+        only_props: Mapping[str, Sequence[str]] | None = None,
     ) -> DataFrame:
         """``labels_to_pack`` (A1, query_builder.py:676-798): listed classes
         are collected into a sorted distinct list per remaining-class row
@@ -195,6 +207,7 @@ class DataProvider:
                 rel_specs,
                 optional,
                 where_map,
+                only_props or {},
             )
             result = g_df if result is None else result.crossJoin(g_df)
 
@@ -213,6 +226,8 @@ class DataProvider:
                 else lb
             )
             out_cols.append(F.col(lb).alias(name))
+            for p in (only_props or {}).get(lb, ()):
+                out_cols.append(F.col(f"{lb}_{p}"))
             if include_ids or return_nodeid:
                 out_cols.append(F.col(f"_id_{lb}").alias(f"_id_{name}"))
         result = result.select(*out_cols)
@@ -236,7 +251,9 @@ class DataProvider:
         rel_specs: list[RelSpec],
         optional: set[str],
         where_map: Mapping[str, Mapping[str, Any]],
+        only_props: Mapping[str, Sequence[str]] | None = None,
     ) -> DataFrame:
+        only_props = only_props or {}
         joined: DataFrame | None = None
         in_plan: set[str] = set()
         pending = list(ordered_labels)
@@ -244,7 +261,7 @@ class DataProvider:
             progressed = False
             for lb in list(pending):
                 if joined is None:
-                    joined = self._class_df(lb, where_map.get(lb))
+                    joined = self._class_df(lb, where_map.get(lb), only_props.get(lb, ()))
                     in_plan.add(lb)
                     pending.remove(lb)
                     progressed = True
@@ -257,7 +274,7 @@ class DataProvider:
                     other = endpoints[0] if endpoints[1] == lb else endpoints[1]
                     if other in in_plan and lb not in in_plan:
                         e = self._edges_for(r)
-                        n = self._class_df(lb, where_map.get(lb))
+                        n = self._class_df(lb, where_map.get(lb), only_props.get(lb, ()))
                         how = "left" if (r.optional or lb in optional) else "inner"
                         known = r.from_label if r.from_label in in_plan else r.to_label
                         # edge ⋈ new class first, then attach to the plan on

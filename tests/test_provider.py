@@ -134,3 +134,13 @@ def test_labels_to_pack(provider, expected_mentions):
         if o.startswith("Operator:"):
             exp.setdefault(u, set()).add(o.split(":", 1)[1])
     assert rows == {u: sorted(v) for u, v in exp.items()}
+
+
+def test_only_props_from_props_map(spark, kg):
+    """P3: pull open-prop keys (lang) alongside the canonical value."""
+    dp = DataProvider(spark, webtext_model(), kg.nodes, kg.edges)
+    got = dp.get_data(["Page"], only_props={"Page": ["lang"]})
+    assert got.columns == ["Page", "Page_lang"]
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["Page_lang"] in {"en", "de", "fr", "es", "zh"} for r in rows)
