@@ -71,7 +71,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text, na_action="ignore")
 
 
-def with_extracted_text(pages: DataFrame, html_col: str = "html", out_col: str = "text") -> Column | DataFrame:
+def with_extracted_text(pages: DataFrame, html_col: str = "html", out_col: str = "text") -> DataFrame:
     """``pages`` with ``out_col`` = extracted text of ``html_col``.
 
     Narrow (per-partition) transform: no shuffle, scales linearly with

@@ -149,7 +149,11 @@ class DataProvider:
         """``labels_to_pack`` (A1, query_builder.py:676-798): listed classes
         are collected into a sorted distinct list per remaining-class row
         instead of multiplying rows — the reference's
-        ``collect(distinct x.rdfs:label)`` packing."""
+        ``collect(distinct x.rdfs:label)`` packing.
+
+        ``only_props`` (P3): ``{label: [prop, ...]}`` adds
+        ``<label>_<prop>`` columns from the class's open props map;
+        rdfs:label stays the main column."""
         where_map = where_map or {}
 
         # 1. strip markers (data_provider.py:124-139)

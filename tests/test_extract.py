@@ -63,3 +63,25 @@ def test_synthetic_pages_schema_and_determinism(spark):
     # extraction round-trips the synthetic body
     row = p1.iloc[0]
     assert row["text"] in extract_text(bytes(row["html"]))
+
+
+def test_native_html_builder_byte_identical(spark):
+    """build_html_native (JVM format_string) must render byte-identical
+    pages to the Python builder — the bench generates with the JVM path
+    while extraction tests trust the Python one."""
+    from pyspark.sql import functions as F
+
+    from tab2neo_spark.extract.html import build_html, build_html_native
+
+    rows = [
+        ("https://a/1", "doc 1", "spark join merge", "en"),
+        ("https://a/2", "t % weird {x}", "body with % and {braces}", "de"),
+        ("https://a/3", "", "", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "url string, title string, body string, lang string")
+    got = df.select(
+        "url", "title", "body", "lang",
+        build_html_native(F.col("url"), F.col("title"), F.col("body"), F.col("lang")).alias("h"),
+    ).collect()
+    for r in got:
+        assert bytes(r["h"]) == build_html(r["url"], r["title"], r["body"], r["lang"]), r["url"]
