@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 # token = maximal run of letters/digits; everything else separates.
 TOKEN_SPLIT_RE = r"[^a-z0-9]+"
-_PLAIN_TOKEN = re.compile(r"^[a-z0-9]+$")
+# surfaces the alternation fast path supports: one or more plain tokens
+# separated by single spaces ("new york" works; regex metachars and
+# non-ascii fall outside the token model entirely)
+_PLAIN_TOKEN = re.compile(r"^[a-z0-9]+( [a-z0-9]+)*$")
 
 
 def tokenize_words(df: DataFrame, text_col: str = "text", out_col: str = "word") -> DataFrame:
@@ -43,12 +46,25 @@ def tokenize_words(df: DataFrame, text_col: str = "text", out_col: str = "word")
 
 
 def gazetteer_pattern(surfaces: list[str]) -> str:
-    """Alternation pattern matching any surface as a whole token.
+    """Alternation pattern matching any surface as a whole token sequence.
 
     Longest-first ordering so regex alternation cannot shadow a longer
-    surface with a shorter prefix ('order' before 'or')."""
-    parts = sorted((re.escape(s) for s in surfaces), key=len, reverse=True)
-    return "(?<![a-z0-9])(" + "|".join(parts) + ")(?![a-z0-9])"
+    surface with a shorter prefix ('order' before 'or'). Multi-word
+    surfaces match across ANY non-token separator ('new york' matches
+    'new-york', 'new  york'): the token model says adjacency, not a
+    literal space. Matches must be normalized back to single-space form
+    before gazetteer lookup (:func:`normalize_match`)."""
+    members = [
+        "[^a-z0-9]+".join(re.escape(t) for t in s.split())
+        for s in sorted(surfaces, key=len, reverse=True)
+    ]
+    return "(?<![a-z0-9])(" + "|".join(members) + ")(?![a-z0-9])"
+
+
+def normalize_match(col):
+    """Collapse the separators inside a pattern match to single spaces so
+    it equals the gazetteer's canonical surface form."""
+    return F.regexp_replace(col, TOKEN_SPLIT_RE, " ")
 
 
 def detect_mentions(
@@ -71,16 +87,22 @@ def detect_mentions(
         return pages.sparkSession.createDataFrame(
             [], f"{id_col} string, class string, surface string, term_code string"
         )
-    if not all(_PLAIN_TOKEN.match(s) for s in surfaces):
-        return detect_mentions_with_pos(pages, gazetteer, text_col, id_col).drop("pos")
+    bad = [s for s in surfaces if not _PLAIN_TOKEN.match(s)]
+    if bad:
+        # a silent wrong answer (token-join can never match multi-word or
+        # non-ascii surfaces) is worse than an explicit gap
+        raise NotImplementedError(
+            f"gazetteer surfaces outside the token model: {bad[:5]} — "
+            "lowercase a-z0-9 tokens separated by single spaces are supported"
+        )
 
     pat = gazetteer_pattern(surfaces)
     hits = pages.select(
         id_col,
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 1)
-        ).alias("surface"),
-    )
+        ).alias("raw_match"),
+    ).select(id_col, normalize_match(F.col("raw_match")).alias("surface"))
     return hits.join(F.broadcast(gazetteer), "surface", "inner").select(
         id_col, "class", "surface", "term_code"
     )

@@ -59,33 +59,57 @@ def connected_components(
     )
 
     for i in range(max_iter):
-        # candidate label for v = min component among v and its neighbors
+        # (1) hash-min hop: candidate label for v = min component among v
+        #     and its neighbors
         neighbor_min = (
             sym.join(labels, sym.u == labels.id, "inner")
             .select(F.col("v").alias("id"), F.col("component"))
             .groupBy("id")
             .agg(F.min("component").alias("nmin"))
         )
+        hopped = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # (2) pointer jump (path halving): component <- component of my
+        #     component. One hop/round alone needs O(diameter) rounds — a
+        #     2000-long alias chain would never converge within max_iter;
+        #     jumping doubles the propagation distance -> O(log n) rounds.
+        parent = hopped.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
+            hopped.join(parent, hopped.component == parent.pid, "left")
             .select(
                 "id",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
-                    "component"
-                ),
-                (F.col("nmin") < F.col("component")).alias("_changed"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))
+                ).alias("component"),
             )
         )
         # eager checkpoint every round: it doubles as the convergence action
-        # (the change-count below would otherwise re-run the whole lineage)
-        # and truncates the iterative plan. checkpoint_every applies to the
+        # (the change-count would otherwise re-run the whole lineage) and
+        # truncates the iterative plan. checkpoint_every applies to the
         # reliable-checkpoint (HDFS) variant on a real cluster, where
         # truncation is amortized instead.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(graph diameter too large?) — raise max_iter"
+        )
     return labels
 
 

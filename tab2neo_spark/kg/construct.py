@@ -113,7 +113,11 @@ def _page_keys_narrow(pages: DataFrame, meta: KGMetadata) -> DataFrame | None:
     Keeping the relation page-granular (1 row/page, small array) makes it
     the cheapest thing to persist — ~10-30x fewer rows than the exploded
     pairs."""
-    from tab2neo_spark.extract.mentions import _PLAIN_TOKEN, gazetteer_pattern
+    from tab2neo_spark.extract.mentions import (
+        _PLAIN_TOKEN,
+        gazetteer_pattern,
+        normalize_match,
+    )
 
     sep = "\x01"
     surfaces = sorted({s for _, s, _ in meta.gaz_rows})
@@ -130,7 +134,9 @@ def _page_keys_narrow(pages: DataFrame, meta: KGMetadata) -> DataFrame | None:
 
     pat = gazetteer_pattern(surfaces)
     hits = F.array_distinct(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 1))
-    keys = F.array_distinct(F.transform(hits, lambda w: surface_map[w]))
+    # matches of multi-word surfaces may carry arbitrary separators —
+    # normalize to the canonical single-space surface before lookup
+    keys = F.array_distinct(F.transform(hits, lambda w: surface_map[normalize_match(w)]))
     return pages.select("url", keys.alias("cks"))
 
 

@@ -110,3 +110,51 @@ def test_triple_pr_at_scale(spark):
     # in fact exact:
     assert (p, r) == (1.0, 1.0)
     pages.unpersist()
+
+
+def test_multiword_gazetteer_surface(spark):
+    """Multi-word surfaces match across any separator and canonicalize to
+    the single-space form (regression: the old fallback silently never
+    matched them)."""
+    import datetime
+
+    from tab2neo_spark.schema import PAGES_SCHEMA
+
+    gaz = spark.createDataFrame(
+        [("Place", "new york", "PL1"), ("Engine", "spark", "ENG1")],
+        "class string, surface string, term_code string",
+    )
+    sa = spark.createDataFrame([], "a string, b string")
+    rows = [
+        ("u1", datetime.datetime(2024, 1, 1), b"<p>moved to New York!</p>", None, "en"),
+        ("u2", datetime.datetime(2024, 1, 1), b"<p>new-york and new  york</p>", None, "en"),
+        ("u3", datetime.datetime(2024, 1, 1), b"<p>newyork is not a match; york neither</p>", None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    kg = construct_kg(spark, pages, gazetteer=gaz, same_as=sa, unique_urls=True)
+    got = {(r["subj"], r["obj"]) for r in kg.triples.filter("pred = 'MENTIONS'").collect()}
+    assert got == {("u1", "Place:new york"), ("u2", "Place:new york")}
+
+
+def test_unsupported_gazetteer_surface_raises(spark):
+    import pytest as _pytest
+
+    from tab2neo_spark.extract.mentions import detect_mentions
+
+    gaz = spark.createDataFrame(
+        [("X", "café", "T1")], "class string, surface string, term_code string"
+    )
+    docs = spark.createDataFrame([("u", "text")], "url string, text string")
+    with _pytest.raises(NotImplementedError, match="token model"):
+        detect_mentions(docs, gaz)
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer-jumping: a 300-node chain converges well inside 50 rounds
+    (one-hop propagation alone would need 300)."""
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i+1:04d}") for i in range(300)], "src string, dst string"
+    )
+    comp = connected_components(edges, max_iter=50)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 301
