@@ -223,3 +223,38 @@ def test_build_terms_for_distinct_values(spark, test_data):
     )
     assert [(t.term_code, t.order) for t in terms] == [("F", 1), ("M", 2)]
     assert len(m.terms) == 2
+
+
+def test_registry_scalar_transforms(spark, test_data):
+    from tab2neo_spark.pipeline.registry import get_transform
+
+    divided = get_transform("divide")(
+        test_data, numerator="Age", denominator="TestValue",
+        new_column="ratio", decimal_places=2,
+    )
+    assert {r["ratio"] for r in divided.collect()} == {15.0, 26.67, 6.67}
+
+    mult = get_transform("multiply")(
+        test_data, column="Age", by=100.0, new_column="pct"
+    )
+    assert {r["pct"] for r in mult.collect()} == {3000.0, 4000.0, 2000.0}
+
+    renamed = get_transform("rename_columns")(test_data, mapping={"Age": "AGE"})
+    assert "AGE" in renamed.columns and "Age" not in renamed.columns
+
+    ct = get_transform("ct_cartesian_product")(
+        test_data.select("Subject"), values=["A", "B"], column="arm"
+    )
+    assert ct.count() == 6
+
+    ht = get_transform("head_tail")(test_data, n=1, order_by=["Age"])
+    ages = sorted(r["Age"] for r in ht.collect())
+    assert ages == [20, 40]
+
+
+def test_pack_map_operator(spark, test_data):
+    from tab2neo_spark.operators.packing import pack_map
+
+    out = pack_map(test_data, ["Study"], "Subject", "Age", out_col="ages")
+    m = out.collect()[0]["ages"]
+    assert dict(m) == {"S001": 30, "S002": 40, "S003": 20}
