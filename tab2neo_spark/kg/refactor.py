@@ -231,6 +231,31 @@ class RefactorEngine:
             .dropDuplicates()
         )
 
+    # -- R8 -------------------------------------------------------------------
+
+    def label_entities(
+        self, nodes: DataFrame, edges: DataFrame, rel_type: str
+    ) -> DataFrame:
+        """R8 (model_applier.py:547-610): copy a related node's value onto
+        the source node as an EXTRA label.
+
+        Neo4j's multi-label ``SET n:<value>`` has no single-column analog;
+        extra labels live in a class-membership side table
+        ``(node_id, extra_label)`` that readback layers union with the
+        primary class. One edge-filtered join, batched-parallel by
+        construction (the reference needs apoc.periodic.iterate batches).
+        """
+        dst_vals = nodes.select(
+            F.col("node_id").alias("dst"), F.col("rdfs_label").alias("extra_label")
+        )
+        return (
+            edges.filter(F.col("rel_type") == rel_type)
+            .join(dst_vals, "dst")
+            .select(F.col("src").alias("node_id"), "extra_label")
+            .filter(F.col("extra_label").isNotNull())
+            .dropDuplicates()
+        )
+
     # -- R9 -------------------------------------------------------------------
 
     def refactor_all(

@@ -124,3 +124,20 @@ def test_refactor_deterministic_across_runs(spark, record_df, model):
     n1 = {tuple(r) for r in eng.refactor_all(record_df, "Record").nodes.collect()}
     n2 = {tuple(r) for r in eng.refactor_all(record_df, "Record").nodes.collect()}
     assert n1 == n2
+
+
+def test_label_entities_extra_labels(spark, refactored, model):
+    """R8: each Study node gains its subjects' values as extra labels."""
+    eng = RefactorEngine(spark, model)
+    extra = eng.label_entities(refactored.nodes, refactored.edges, "Subject")
+    nodes = refactored.nodes
+    study = nodes.filter(nodes["class"] == "Study").select(
+        nodes["node_id"], nodes["rdfs_label"].alias("study")
+    )
+    got = {
+        (r["study"], r["extra_label"])
+        for r in extra.join(study, "node_id").collect()
+    }
+    assert got == {
+        ("STUDY1", "S001"), ("STUDY1", "S002"), ("STUDY1", "S003"), ("STUDY2", "S001")
+    }
