@@ -235,14 +235,18 @@ def q_refactor_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_where_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 dialect: exclusive-by-default bounds + explicit min_include,
+    list-of-{'not_in'} dicts (query_builder.py:243-244,281-284), plain
+    not_in, and IN-list."""
     from tab2neo_spark.operators.predicates import apply_where_map
 
     cust = _t(spark, sf_dir, "customer")
     return apply_where_map(
         cust,
         {
-            "c_acctbal": {"min": 0.0, "max": 5000.0, "max_include": False, "incl_null": False},
-            "c_mktsegment": ["BUILDING", "MACHINERY"],
+            # min_include=True -> >=, max defaults to exclusive <
+            "c_acctbal": {"min": 0.0, "max": 5000.0, "min_include": True, "incl_null": False},
+            "c_mktsegment": [{"not_in": "AUTOMOBILE"}, {"not_in": "FURNITURE"}],
             "c_nationkey": {"not_in": [0, 1, 2]},
         },
     ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey")
@@ -255,6 +259,86 @@ def q_where_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
     return apply_rel_condition(cust, "c_custkey", orders, "o_custkey", exists=True).select(
         "c_custkey", "c_name"
+    )
+
+
+def _exists_graph(spark: SparkSession, sf_dir: str):
+    """Hand-built 3-class graph for the where_rel_map dialect gates:
+    Segment -HIGH_BAL-> Nation (only where a customer has c_acctbal > 9900,
+    sparse on purpose) and Nation -IN_REGION-> Region (dense)."""
+    from tab2neo_spark.model.metadata import MetadataModel
+    from tab2neo_spark.provider import DataProvider
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    def _nodes(df, cls, col):
+        v = F.col(col).cast("string")
+        return df.select(v.alias("rdfs_label")).distinct().select(
+            F.xxhash64(F.lit(cls), "rdfs_label").alias("node_id"),
+            F.lit(cls).alias("class"),
+            "rdfs_label",
+            F.lit(None).cast("string").alias("uri"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    nodes = (
+        _nodes(cust, "Segment", "c_mktsegment")
+        .unionByName(_nodes(cust, "Nation", "c_nationkey"))
+        .unionByName(_nodes(nation, "Region", "n_regionkey"))
+    )
+    high = cust.filter(F.col("c_acctbal") > 9900).select(
+        F.xxhash64(F.lit("Segment"), F.col("c_mktsegment").cast("string")).alias("src"),
+        F.lit("HIGH_BAL").alias("rel_type"),
+        F.xxhash64(F.lit("Nation"), F.col("c_nationkey").cast("string")).alias("dst"),
+    ).distinct()
+    in_region = nation.select(
+        F.xxhash64(F.lit("Nation"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.lit("IN_REGION").alias("rel_type"),
+        F.xxhash64(F.lit("Region"), F.col("n_regionkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = high.unionByName(in_region)
+
+    m = MetadataModel()
+    m.create_related_classes_from_list(
+        [["Segment", "Nation", "HIGH_BAL"], ["Nation", "Region", "IN_REGION"]]
+    )
+    return DataProvider(spark, m, nodes, edges)
+
+
+def q_where_exists_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 'exclude': nations with a neighbor that is NOT a Region node —
+    i.e. nations with a high-balance customer of any segment."""
+    dp = _exists_graph(spark, sf_dir)
+    return dp.get_data(
+        ["Nation"], where_rel_map={"Nation": {"EXISTS": {"exclude": ["Region"]}}}
+    )
+
+
+def q_where_exists_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 'EXISTS<' + property-dict item: nations with an INCOMING edge from
+    a BUILDING/MACHINERY segment (outgoing would only reach Region)."""
+    dp = _exists_graph(spark, sf_dir)
+    return dp.get_data(
+        ["Nation"],
+        where_rel_map={
+            "Nation": {
+                "EXISTS<": {
+                    "include": [{"Segment": {"rdfs:label": ["BUILDING", "MACHINERY"]}}]
+                }
+            }
+        },
+    )
+
+
+def q_where_exists_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 'exclude_matched': (nation, region) rows where the nation has a
+    neighbor besides its own matched region node."""
+    dp = _exists_graph(spark, sf_dir)
+    return dp.get_data(
+        ["Nation", "Region"],
+        rels=[{"from": "Nation", "to": "Region", "type": "IN_REGION"}],
+        where_rel_map={"Nation": {"EXISTS": {"exclude_matched": ["Region"]}}},
     )
 
 
@@ -390,7 +474,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_new = events.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     )
-    return with_new.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+    # explicit BIGINT on both sides: DuckDB sum(int) is HUGEINT and the
+    # driver hashes values+types (round-1 red row)
+    return with_new.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -549,7 +637,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     counts = orders.groupBy("o_orderpriority", "o_orderstatus").count()
     return pivot_wide(
-        counts, ["o_orderpriority"], "o_orderstatus", "count", ["O", "F", "P"]
+        counts, ["o_orderpriority"], "o_orderstatus", "count", ["O", "F", "P"],
+        fill_value=F.lit(0).cast("long"),
     )
 
 
@@ -723,6 +812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_readback_pack": q_kg_readback_pack,
         "where_range": q_where_range,
         "where_exists": q_where_exists,
+        "where_exists_exclude": q_where_exists_exclude,
+        "where_exists_directional": q_where_exists_directional,
+        "where_exists_matched": q_where_exists_matched,
         "where_not_exists": q_where_not_exists,
         "join_nway": q_join_nway,
         "join_optional": q_join_optional,
@@ -989,8 +1081,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, l_quantity * l_extendedprice AS derived,
                        'Line_by/' || l_orderkey || '/' || l_linenumber AS uri
                 FROM lineitem
-                WHERE l_quantity * l_extendedprice >= 100000
-                  AND l_quantity * l_extendedprice <= 500000
+                WHERE l_quantity * l_extendedprice > 100000
+                  AND l_quantity * l_extendedprice < 500000
             )
             SELECT l_returnflag, count(*) AS n, round(sum(derived), 2) AS sum_derived,
                    count(DISTINCT uri) AS n_uris
@@ -1043,13 +1135,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey
             FROM customer
             WHERE c_acctbal >= 0.0 AND c_acctbal < 5000.0
-              AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+              AND c_mktsegment NOT IN ('AUTOMOBILE', 'FURNITURE')
               AND c_nationkey NOT IN (0, 1, 2)
         """,
         "where_exists": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        """,
+        "where_exists_exclude": """
+            SELECT DISTINCT c_nationkey::VARCHAR AS Nation
+            FROM customer WHERE c_acctbal > 9900
+        """,
+        "where_exists_directional": """
+            SELECT DISTINCT c_nationkey::VARCHAR AS Nation
+            FROM customer
+            WHERE c_acctbal > 9900 AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """,
+        "where_exists_matched": """
+            SELECT DISTINCT c_nationkey::VARCHAR AS Nation,
+                   n_regionkey::VARCHAR AS Region
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            WHERE c_acctbal > 9900
         """,
         "where_not_exists": """
             SELECT c_custkey, c_name FROM customer c
@@ -1115,7 +1222,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name)
         """,
         "sessionize": """
-            SELECT user_id, sum(new_sess) AS n_sessions FROM (
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions FROM (
                 SELECT user_id,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
@@ -1282,7 +1389,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
             FROM events GROUP BY event_type
         """,
         "build_uri": """

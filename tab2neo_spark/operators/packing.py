@@ -58,9 +58,20 @@ def pivot_wide(
     pivot_col: str,
     value_col: str,
     pivot_values: Sequence[str] | None = None,
+    fill_value=None,
 ) -> DataFrame:
     """Dict-column expansion analog (data_provider.py:252-262). Passing
     ``pivot_values`` explicitly skips the extra distinct-scan Spark needs
-    to discover them — always do so at scale."""
+    to discover them — always do so at scale.
+
+    ``fill_value`` replaces the NULL Spark puts in empty pivot cells (SQL
+    ``count(*) FILTER`` semantics produce 0, not NULL, for empty cells)."""
     gb = df.groupBy(*keys).pivot(pivot_col, list(pivot_values) if pivot_values else None)
-    return gb.agg(F.first(value_col))
+    out = gb.agg(F.first(value_col))
+    if fill_value is not None:
+        cell_cols = [c for c in out.columns if c not in set(keys)]
+        out = out.select(
+            *keys,
+            *[F.coalesce(F.col(f"`{c}`"), F.lit(fill_value)).alias(c) for c in cell_cols],
+        )
+    return out

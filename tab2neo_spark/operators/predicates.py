@@ -12,9 +12,16 @@ Dialect (per property):
 - list                        -> ``col IN (...)``
 - {"not_in": v_or_list}       -> ``NOT col IN (...)``  (null rows drop, as
                                   in Cypher where NOT(null IN ..) is null)
+- [{"not_in": a}, {"not_in": b}, ...]  list of not_in dicts
+                              -> ``NOT col IN (a, b, ...)``
+                                  (query_builder.py:281-284)
 - range dict with any of ``min``/``max`` plus ``min_include`` /
-  ``max_include`` (default True) and ``incl_null`` (default False)
-                              -> ``min <=/< col <=/< max [OR col IS NULL]``
+  ``max_include`` (default **False** — the reference's bounds are
+  EXCLUSIVE unless flagged, query_builder.py:243-244) and ``incl_null``
+  (None -> no null clause; True -> ``.. OR col IS NULL``; False ->
+  ``col IS NOT NULL AND ..``, a no-op for range predicates since NULL
+  never satisfies a comparison, kept for dialect parity)
+                              -> ``min </<= col </<= max [OR col IS NULL]``
 """
 
 from __future__ import annotations
@@ -39,14 +46,23 @@ def compile_condition(col: Column, value: Any) -> Column:
         v = value["not_in"]
         vals = v if isinstance(v, (list, tuple)) else [v]
         return ~col.isin(list(vals))
+    # list of {'not_in': x} dicts -> NOT col IN (x, ...) (query_builder.py:281-284)
+    if (
+        isinstance(value, (list, tuple))
+        and value
+        and all(isinstance(item, Mapping) for item in value)
+    ):
+        vals = [item.get("not_in") for item in value]
+        return ~col.isin(vals)
     if _is_range(value):
         parts: list[Column] = []
         if "min" in value:
             lo = F.lit(value["min"])
-            parts.append(col >= lo if value.get("min_include", True) else col > lo)
+            # reference bounds are EXCLUSIVE by default (query_builder.py:243-244)
+            parts.append(col >= lo if value.get("min_include", False) else col > lo)
         if "max" in value:
             hi = F.lit(value["max"])
-            parts.append(col <= hi if value.get("max_include", True) else col < hi)
+            parts.append(col <= hi if value.get("max_include", False) else col < hi)
         cond = parts[0]
         for p in parts[1:]:
             cond = cond & p

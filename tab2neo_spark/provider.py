@@ -298,26 +298,170 @@ class DataProvider:
         assert joined is not None
         return joined
 
+    # the reference's full check/operator vocabulary (query_builder.py:311,322)
+    REL_MODES = {"EXISTS", "NOT EXISTS", "EXISTS>", "NOT EXISTS>", "EXISTS<", "NOT EXISTS<"}
+    REL_OPERATORS = {"include", "exclude", "include_matched", "exclude_matched"}
+
+    def _neighbor_pairs(self, direction: str) -> DataFrame:
+        """Edge endpoints as (_k = conditioned-side node, _nbr = neighbor),
+        honoring the dialect's direction suffix (query_builder.py:312-314,354):
+        ``>`` = ``(label)-[]->(x)`` (label is src), ``<`` = ``(label)<-[]-(x)``
+        (label is dst), none = either direction."""
+        parts = []
+        if direction in ("", ">"):
+            parts.append(self.edges.select(F.col("src").alias("_k"), F.col("dst").alias("_nbr")))
+        if direction in ("", "<"):
+            parts.append(self.edges.select(F.col("dst").alias("_k"), F.col("src").alias("_nbr")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    def _neighbor_item_cond(self, items: Any):
+        """Compile one include/exclude list into a Column over the neighbor
+        node's (_x_class, _x_value, _x_props) columns. Items are class-label
+        strings (``x:`A` OR x:`B```) or ``{Class: {prop: cond}}`` dicts
+        (``x.prop in v AND x:Class``) — query_builder.py:326-337."""
+        from tab2neo_spark.operators.predicates import compile_condition
+
+        if not isinstance(items, (list, tuple)) or not items:
+            raise QuerySpecError("where_rel_map include/exclude expect a non-empty list")
+        cond = None
+        for item in items:
+            if isinstance(item, Mapping):
+                for cls, prop_map in item.items():
+                    c = F.col("_x_class") == cls
+                    for prop, val in prop_map.items():
+                        target = (
+                            F.col("_x_value")
+                            if prop in ("rdfs:label", "rdfs_label")
+                            else F.col("_x_props").getItem(prop)
+                        )
+                        c = c & compile_condition(target, val)
+                    cond = c if cond is None else cond | c
+            else:
+                c = F.col("_x_class") == item
+                cond = c if cond is None else cond | c
+        return cond
+
     def _apply_rel_conditions(
         self, df: DataFrame, label: str, conds: Mapping[str, Any]
     ) -> DataFrame:
-        """{'EXISTS'/'NOT EXISTS': {'include': [labels]}} against any
-        neighbor via any rel type (query_builder.py:300-355)."""
+        """where_rel_map: existential neighborhood conditions, full reference
+        dialect (query_builder.py:300-355).
+
+        ``{'EXISTS'/'NOT EXISTS'[+ '>'/'<']: {operator: [...], ...}}`` where
+        operators AND together over the same neighbor x:
+
+        - ``include``:  x's class (or class+property dict) matches the list
+        - ``exclude``:  x's class does NOT match the list
+        - ``include_matched``: x IS one of the row's already-matched nodes
+          (the listed labels' ``_id_`` columns)
+        - ``exclude_matched``: x is NOT one of the row's matched nodes
+
+        Uncorrelated checks compile to semi/anti joins (Catalyst broadcasts
+        the key set when small); ``*_matched`` checks are row-correlated and
+        compile to at-most-one-row left joins on (node, neighbor) pairs plus
+        a degree join for exclude_matched. Unknown modes/operators raise —
+        never silently return a wrong result."""
         for mode, spec in conds.items():
-            exists = not mode.upper().startswith("NOT")
-            include = spec.get("include") or spec.get("include_matched") or []
-            neighbor_ids = (
-                self.nodes.filter(F.col("class").isin(list(include)))
-                .select(F.col("node_id").alias("_nbr"))
-            )
-            # neighbors on either edge direction
-            e1 = self.edges.join(neighbor_ids, F.col("dst") == F.col("_nbr")).select(
-                F.col("src").alias("_k")
-            )
-            e2 = self.edges.join(neighbor_ids, F.col("src") == F.col("_nbr")).select(
-                F.col("dst").alias("_k")
-            )
-            keys = e1.union(e2).distinct()
-            how = "left_semi" if exists else "left_anti"
-            df = df.join(keys, df[f"_id_{label}"] == keys["_k"], how)
+            mode_u = str(mode).upper().strip()
+            if mode_u not in self.REL_MODES:
+                raise QuerySpecError(
+                    f"where_rel_map mode {mode!r} not one of {sorted(self.REL_MODES)}"
+                )
+            if not isinstance(spec, Mapping):
+                raise QuerySpecError(
+                    f"where_rel_map condition for {mode!r} must be a dict of operators"
+                )
+            unknown = set(spec) - self.REL_OPERATORS
+            if unknown:
+                raise QuerySpecError(
+                    f"where_rel_map operators {sorted(unknown)} not one of "
+                    f"{sorted(self.REL_OPERATORS)}"
+                )
+            exists = not mode_u.startswith("NOT")
+            direction = mode_u[-1] if mode_u[-1] in "<>" else ""
+            key = f"_id_{label}"
+            if key not in df.columns:
+                raise QuerySpecError(f"where_rel_map label {label!r} not in the query")
+
+            pairs = self._neighbor_pairs(direction)
+            # class/property conditions on x — AND of include and NOT exclude
+            x_cond = None
+            if "include" in spec:
+                c = self._neighbor_item_cond(spec["include"])
+                x_cond = c if x_cond is None else x_cond & c
+            if "exclude" in spec:
+                c = ~self._neighbor_item_cond(spec["exclude"])
+                x_cond = c if x_cond is None else x_cond & c
+            if x_cond is not None:
+                nbr = self.nodes.select(
+                    F.col("node_id").alias("_nbr"),
+                    F.col("class").alias("_x_class"),
+                    F.col("rdfs_label").alias("_x_value"),
+                    F.col("props").alias("_x_props"),
+                ).filter(x_cond)
+                pairs = pairs.join(nbr.select("_nbr"), "_nbr", "left_semi")
+
+            matched_incl = list(spec.get("include_matched", []))
+            matched_excl = list(spec.get("exclude_matched", []))
+            for m in matched_incl + matched_excl:
+                if not isinstance(m, str):
+                    raise QuerySpecError(
+                        f"only string labels allowed in *_matched, got {m!r}"
+                    )
+                if f"_id_{m}" not in df.columns:
+                    raise QuerySpecError(f"*_matched label {m!r} not in the query")
+
+            if not matched_incl and not matched_excl:
+                # uncorrelated: one semi/anti join on the distinct key set
+                keys = pairs.select("_k").distinct()
+                how = "left_semi" if exists else "left_anti"
+                df = df.join(keys, df[key] == keys["_k"], how)
+                continue
+
+            # correlated (*_matched): compute the per-row EXISTS boolean
+            pairs = pairs.distinct()
+            helper_cols: list[str] = []
+            work = df
+            if matched_incl:
+                # exists x in {row's matched nodes} (minus any exclude_matched)
+                effective = [m for m in matched_incl if m not in matched_excl]
+                hit = F.lit(False)
+                for i, m in enumerate(effective):
+                    p = pairs.select(
+                        F.col("_k").alias(f"_mk{i}"), F.col("_nbr").alias(f"_mn{i}")
+                    )
+                    work = work.join(
+                        p,
+                        (work[key] == F.col(f"_mk{i}"))
+                        & (work[f"_id_{m}"] == F.col(f"_mn{i}")),
+                        "left",
+                    )
+                    hit = hit | F.col(f"_mk{i}").isNotNull()
+                    helper_cols += [f"_mk{i}", f"_mn{i}"]
+                cond_expr = hit
+            else:
+                # exclude_matched only: exists a neighbor that is NOT one of
+                # the row's matched nodes <=> degree > matched-neighbor hits
+                deg = pairs.groupBy("_k").agg(F.count("*").alias("_deg"))
+                work = work.join(deg, work[key] == deg["_k"], "left")
+                helper_cols += ["_k", "_deg"]
+                nhits = F.lit(0)
+                for i, m in enumerate(matched_excl):
+                    p = pairs.select(
+                        F.col("_k").alias(f"_mk{i}"), F.col("_nbr").alias(f"_mn{i}")
+                    )
+                    work = work.join(
+                        p,
+                        (work[key] == F.col(f"_mk{i}"))
+                        & (work[f"_id_{m}"] == F.col(f"_mn{i}")),
+                        "left",
+                    )
+                    nhits = nhits + F.when(F.col(f"_mk{i}").isNotNull(), 1).otherwise(0)
+                    helper_cols += [f"_mk{i}", f"_mn{i}"]
+                cond_expr = F.coalesce(F.col("_deg"), F.lit(0)) > nhits
+            work = work.filter(cond_expr if exists else ~cond_expr)
+            df = work.drop(*helper_cols)
         return df

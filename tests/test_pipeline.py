@@ -61,7 +61,10 @@ def test_filter_coercion(spark, test_data):
         "name": "f",
         "actions": [
             {"type": "get_data"},
-            {"type": "filter", "where_map": {"Age": {"min": "25", "max": "40"}}},
+            # bounds are exclusive by default (query_builder.py:243-244);
+            # max_include keeps Age=40
+            {"type": "filter", "where_map": {"Age": {"min": "25", "max": "40",
+                                                     "max_include": True}}},
         ],
     }
     res = DerivationMethod(spark, spec, source_df=test_data).apply()

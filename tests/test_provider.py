@@ -144,3 +144,142 @@ def test_only_props_from_props_map(spark, kg):
     rows = got.collect()
     assert len(rows) > 0
     assert all(r["Page_lang"] in {"en", "de", "fr", "es", "zh"} for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# where_rel_map full dialect (query_builder.py:300-355): exclude, directional
+# EXISTS>/EXISTS<, property-dict items, include_matched/exclude_matched
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rel_dialect_dp(spark):
+    """Tiny hand-built graph with known direction/class structure:
+
+    a1 -REL-> b1,  a2 -REL-> b1,  a2 -REL-> b2,  b1 -REL-> a3,  a1 -LINK-> c1
+    """
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    nodes = spark.createDataFrame(
+        [
+            (1, "A", "a1", None, None),
+            (2, "A", "a2", None, None),
+            (3, "A", "a3", None, None),
+            (4, "B", "b1", None, None),
+            (5, "B", "b2", None, None),
+            (6, "C", "gamma", None, {"grade": "x"}),
+        ],
+        "node_id long, class string, rdfs_label string, uri string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, "REL", 4), (2, "REL", 4), (2, "REL", 5), (4, "REL", 3), (1, "LINK", 6)],
+        "src long, rel_type string, dst long",
+    )
+    m = MetadataModel()
+    for c in ("A", "B", "C"):
+        m.create_class(c)
+    m.create_relationship("A", "B", "REL")
+    return DataProvider(spark, m, nodes, edges)
+
+
+def _a_set(df):
+    return {r["A"] for r in df.collect()}
+
+
+def test_rel_map_exists_include_any_direction(rel_dialect_dp):
+    got = rel_dialect_dp.get_data(
+        ["A"], where_rel_map={"A": {"EXISTS": {"include": ["B"]}}}
+    )
+    assert _a_set(got) == {"a1", "a2", "a3"}  # a3 via incoming b1->a3
+
+
+def test_rel_map_exists_directional(rel_dialect_dp):
+    out = rel_dialect_dp.get_data(
+        ["A"], where_rel_map={"A": {"EXISTS>": {"include": ["B"]}}}
+    )
+    assert _a_set(out) == {"a1", "a2"}  # outgoing only
+    inc = rel_dialect_dp.get_data(
+        ["A"], where_rel_map={"A": {"EXISTS<": {"include": ["B"]}}}
+    )
+    assert _a_set(inc) == {"a3"}  # incoming only
+    neg = rel_dialect_dp.get_data(
+        ["A"], where_rel_map={"A": {"NOT EXISTS>": {"include": ["B"]}}}
+    )
+    assert _a_set(neg) == {"a3"}
+
+
+def test_rel_map_exclude(rel_dialect_dp):
+    """exclude: EXISTS a neighbor whose class is NOT in the list."""
+    got = rel_dialect_dp.get_data(
+        ["A"], where_rel_map={"A": {"EXISTS": {"exclude": ["B"]}}}
+    )
+    assert _a_set(got) == {"a1"}  # only a1 has a non-B neighbor (c1)
+    neg = rel_dialect_dp.get_data(
+        ["A"], where_rel_map={"A": {"NOT EXISTS": {"exclude": ["B"]}}}
+    )
+    assert _a_set(neg) == {"a2", "a3"}
+
+
+def test_rel_map_property_dict_item(rel_dialect_dp):
+    """{Class: {prop: cond}} items: x.prop matches AND x:Class."""
+    got = rel_dialect_dp.get_data(
+        ["A"],
+        where_rel_map={"A": {"EXISTS": {"include": [{"C": {"rdfs:label": "gamma"}}]}}},
+    )
+    assert _a_set(got) == {"a1"}
+    # open-props map access
+    got2 = rel_dialect_dp.get_data(
+        ["A"],
+        where_rel_map={"A": {"EXISTS": {"include": [{"C": {"grade": ["x", "y"]}}]}}},
+    )
+    assert _a_set(got2) == {"a1"}
+    none = rel_dialect_dp.get_data(
+        ["A"],
+        where_rel_map={"A": {"EXISTS": {"include": [{"C": {"grade": "z"}}]}}},
+    )
+    assert _a_set(none) == set()
+
+
+def test_rel_map_include_matched(rel_dialect_dp):
+    """x IS one of the row's matched nodes (cross join then correlate)."""
+    got = rel_dialect_dp.get_data(
+        ["A", "B"], rels=[], infer_rels=False, allow_unrelated_subgraphs=True,
+        where_rel_map={"A": {"EXISTS": {"include_matched": ["B"]}}},
+    )
+    rows = {(r["A"], r["B"]) for r in got.collect()}
+    assert rows == {("a1", "b1"), ("a2", "b1"), ("a2", "b2"), ("a3", "b1")}
+    # directional: only outgoing a->b edges qualify
+    out = rel_dialect_dp.get_data(
+        ["A", "B"], rels=[], infer_rels=False, allow_unrelated_subgraphs=True,
+        where_rel_map={"A": {"EXISTS>": {"include_matched": ["B"]}}},
+    )
+    assert {(r["A"], r["B"]) for r in out.collect()} == {
+        ("a1", "b1"), ("a2", "b1"), ("a2", "b2")
+    }
+
+
+def test_rel_map_exclude_matched(rel_dialect_dp):
+    """EXISTS a B-class neighbor that is NOT the row's matched B node."""
+    got = rel_dialect_dp.get_data(
+        ["A", "B"],
+        rels=[{"from": "A", "to": "B", "type": "REL"}],
+        where_rel_map={"A": {"EXISTS>": {"include": ["B"], "exclude_matched": ["B"]}}},
+    )
+    rows = {(r["A"], r["B"]) for r in got.collect()}
+    # a1's only outgoing B neighbor is b1 -> (a1,b1) drops; a2 has both
+    assert rows == {("a2", "b1"), ("a2", "b2")}
+
+
+def test_rel_map_unknown_keys_raise(rel_dialect_dp):
+    with pytest.raises(QuerySpecError, match="mode"):
+        rel_dialect_dp.get_data(
+            ["A"], where_rel_map={"A": {"SOMETIMES EXISTS": {"include": ["B"]}}}
+        )
+    with pytest.raises(QuerySpecError, match="operators"):
+        rel_dialect_dp.get_data(
+            ["A"], where_rel_map={"A": {"EXISTS": {"includes": ["B"]}}}
+        )
+    with pytest.raises(QuerySpecError, match="not in the query"):
+        rel_dialect_dp.get_data(
+            ["A"], where_rel_map={"Z": {"EXISTS": {"include": ["B"]}}}
+        )

@@ -56,6 +56,13 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     if list(a.columns) != list(b.columns):
         problems.append(f"schema: spark={list(a.columns)} oracle={list(b.columns)}")
         return problems
+    # the driver hashes values+types: a Spark BIGINT vs DuckDB HUGEINT column
+    # is a red row even when values match (round-1 'sessionize'), so flag any
+    # dtype-kind divergence here too
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and {ka, kb} not in ({"i", "u"},):
+            problems.append(f"dtype[{c}]: spark={a[c].dtype} oracle={b[c].dtype}")
     if len(a) != len(b):
         problems.append(f"rows: spark={len(a)} oracle={len(b)}")
         return problems
