@@ -140,6 +140,31 @@ def _customer_refactor(spark: SparkSession, sf_dir: str):
     return m, RefactorEngine(spark, m).refactor_all(cust, "customer")
 
 
+def q_refactor_multiprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R2 MAPS_TO_PROPERTY mode: one Customer entity per customer row
+    with rdfs_label = name plus two named properties from other columns
+    (reference model_applier.py:156-295, test_extract_entities.py)."""
+    from tab2neo_spark.kg.refactor import RefactorEngine, plan_extraction
+    from tab2neo_spark.model.metadata import MetadataModel, PropertyMapping
+
+    cust = _t(spark, sf_dir, "customer")
+    m = MetadataModel()
+    m.create_class("customer")
+    m.property_mappings += [
+        PropertyMapping("customer", "c_name", "Customer", "rdfs_label"),
+        PropertyMapping("customer", "c_nationkey", "Customer", "nation"),
+        PropertyMapping("customer", "c_mktsegment", "Customer", "segment"),
+    ]
+    res = RefactorEngine(spark, m).extract_class_entities(
+        cust, plan_extraction(m, "customer"), "customer"
+    )
+    return res.nodes.select(
+        F.col("rdfs_label").alias("name"),
+        F.col("props").getItem("nation").alias("nation"),
+        F.col("props").getItem("segment").alias("segment"),
+    )
+
+
 def q_refactor_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, res = _customer_refactor(spark, sf_dir)
     return res.nodes.select("class", "rdfs_label")
@@ -339,6 +364,25 @@ def q_where_exists_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["Nation", "Region"],
         rels=[{"from": "Nation", "to": "Region", "type": "IN_REGION"}],
         where_rel_map={"Nation": {"EXISTS": {"exclude_matched": ["Region"]}}},
+    )
+
+
+def q_kg_readback_packmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 map-form labels_to_pack: regions packed into one map keyed by the
+    nation value (apoc.map.fromPairs analog), rendered as a sorted string
+    for engine-portable hashing."""
+    dp = _exists_graph(spark, sf_dir)
+    out = dp.get_data(
+        ["Nation", "Region"],
+        rels=[{"from": "Nation", "to": "Region", "type": "IN_REGION"}],
+        labels_to_pack={"Region": "Nation"},
+    )
+    entries = F.sort_array(F.map_entries(F.col("Region_map")))
+    return out.select(
+        F.array_join(
+            F.transform(entries, lambda x: F.concat_ws("=", x["key"], x["value"])),
+            "|",
+        ).alias("region_map")
     )
 
 
@@ -810,11 +854,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_readback_optional": q_kg_readback_optional,
         "kg_readback_exists": q_kg_readback_exists,
         "kg_readback_pack": q_kg_readback_pack,
+        "refactor_multiprop": q_refactor_multiprop,
         "where_range": q_where_range,
         "where_exists": q_where_exists,
         "where_exists_exclude": q_where_exists_exclude,
         "where_exists_directional": q_where_exists_directional,
         "where_exists_matched": q_where_exists_matched,
+        "kg_readback_packmap": q_kg_readback_packmap,
         "where_not_exists": q_where_not_exists,
         "join_nway": q_join_nway,
         "join_optional": q_join_optional,
@@ -1143,6 +1189,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
         """,
+        "refactor_multiprop": """
+            SELECT c_name AS name, c_nationkey::VARCHAR AS nation,
+                   c_mktsegment AS segment
+            FROM customer
+        """,
         "where_exists_exclude": """
             SELECT DISTINCT c_nationkey::VARCHAR AS Nation
             FROM customer WHERE c_acctbal > 9900
@@ -1157,6 +1208,11 @@ def oracle_sql() -> dict[str, str]:
                    n_regionkey::VARCHAR AS Region
             FROM customer JOIN nation ON n_nationkey = c_nationkey
             WHERE c_acctbal > 9900
+        """,
+        "kg_readback_packmap": """
+            SELECT string_agg(n_nationkey::VARCHAR || '=' || n_regionkey::VARCHAR,
+                              '|' ORDER BY n_nationkey::VARCHAR) AS region_map
+            FROM nation
         """,
         "where_not_exists": """
             SELECT c_custkey, c_name FROM customer c

@@ -63,13 +63,34 @@ class RefactorResult:
 def plan_extraction(model: MetadataModel, table_class: str) -> list[ExtractionSpec]:
     """R1: one spec per class mapped from the table's columns.
 
-    With a create_model_from_data-style model, every relationship
-    ``table_class -> C`` maps column C to class C; ``create``-mode classes
-    come from ``ClassSpec.create`` (model_applier.py:220-224).
+    Two mapping paths, like the reference's two schema modes
+    (model_applier.py:199-228):
+
+    - MAPS_TO_PROPERTY (``model.property_mappings``): all of a class's
+      (column -> property) pairs collapse into ONE spec — the reference's
+      ``coll: [[col, prop], ...]`` grouping (test_extract_entities.py
+      part_1_A: car gets [['car_color','color'], ['car_make','make']]).
+    - MAPS_TO_CLASS analog: a relationship ``table_class -> C`` maps column
+      C to class C's rdfs_label — unless C already has property mappings.
+
+    ``create``-mode classes come from ``ClassSpec.create``
+    (model_applier.py:220-224).
     """
     specs = []
+    by_class: dict[str, list] = {}
+    for pm in model.mappings_for_table(table_class):
+        by_class.setdefault(pm.class_label, []).append((pm.column, pm.property_name))
+    for class_label, pairs in by_class.items():
+        cls = model.classes.get(class_label)
+        specs.append(
+            ExtractionSpec(
+                class_label=class_label,
+                columns=pairs,
+                mode="create" if (cls and cls.create) else "merge",
+            )
+        )
     for rel in model.relationships:
-        if rel.from_label != table_class:
+        if rel.from_label != table_class or rel.to_label in by_class:
             continue
         cls = model.classes.get(rel.to_label)
         if cls is None:
@@ -102,34 +123,64 @@ class RefactorEngine:
     ) -> RefactorResult:
         """R2: entity nodes per spec + FROM_DATA provenance edges.
 
-        merge-mode id = xxhash64(class, value): equal values collapse
-        globally WITHOUT a shuffle-dedup — downstream writes dedup on the
-        deterministic key instead (materialize.write_stage).
-        create-mode id = xxhash64(class, row_id, value): one node per
-        source row (model_applier.py:246-251).
+        merge-mode id = xxhash64(class, value-tuple): equal mapped-value
+        combinations collapse globally WITHOUT a shuffle-dedup — downstream
+        writes dedup on the deterministic key instead
+        (materialize.write_stage). create-mode id adds row_id to the hash:
+        one node per source row (model_applier.py:246-251).
+
+        Multi-property specs (MAPS_TO_PROPERTY mode): ALL (column ->
+        property) pairs of a spec land on ONE node, whose merge identity is
+        the tuple of all mapped values — reference
+        test_extract_entities.py part_2_D: car{color,make} nodes merge per
+        (color, make) pair. The pair whose property is rdfs_label feeds the
+        canonical value column; every other pair goes into the open props
+        map. Rows where every mapped value is null are skipped (null keys
+        must not merge — CLD_NAN discipline, action.py:1656-1660).
         """
         rows = self.with_row_ids(df, domain)
+        NULL_MARK = "\x00"  # distinguishes null from the string 'null'
 
         node_parts = []
         rowmap_parts = []
         for spec in specs:
-            src_col, _prop = spec.columns[0]
-            base = rows.select(
-                F.col("_row_id"),
-                F.col(src_col).cast("string").alias("rdfs_label"),
-            ).filter(F.col("rdfs_label").isNotNull())
-            # null keys must not merge together (CLD_NAN discipline,
-            # action.py:1656-1660): nulls are dropped, not merged
+            pairs = [(src, prop) for src, prop in spec.columns]
+            vals = [F.col(src).cast("string") for src, _ in pairs]
+            any_present = vals[0].isNotNull()
+            for v in vals[1:]:
+                any_present = any_present | v.isNotNull()
+            base = rows.filter(any_present)
+
+            key_parts = [F.coalesce(v, F.lit(NULL_MARK)) for v in vals]
             if spec.mode == "create":
-                node_id = F.xxhash64(F.lit(spec.class_label), F.col("_row_id"), F.col("rdfs_label"))
+                node_id = F.xxhash64(F.lit(spec.class_label), F.col("_row_id"), *key_parts)
             else:
-                node_id = F.xxhash64(F.lit(spec.class_label), F.col("rdfs_label"))
+                node_id = F.xxhash64(F.lit(spec.class_label), *key_parts)
+
+            rdfs_vals = [v for (_, prop), v in zip(pairs, vals)
+                         if prop in ("rdfs_label", "rdfs:label")]
+            rdfs_label = rdfs_vals[0] if rdfs_vals else F.lit(None).cast("string")
+            prop_entries = [
+                (prop, v)
+                for (_, prop), v in zip(pairs, vals)
+                if prop not in ("rdfs_label", "rdfs:label")
+            ]
+            if prop_entries:
+                props = F.map_filter(
+                    F.create_map(
+                        *[x for p, v in prop_entries for x in (F.lit(p), v)]
+                    ),
+                    lambda k, v: v.isNotNull(),
+                )
+            else:
+                props = F.lit(None).cast("map<string,string>")
+
             part = base.select(
                 node_id.alias("node_id"),
                 F.lit(spec.class_label).alias("class"),
-                F.col("rdfs_label"),
-                S.node_uri_col(F.lit(spec.class_label), F.col("rdfs_label")).alias("uri"),
-                F.lit(None).cast("map<string,string>").alias("props"),
+                rdfs_label.alias("rdfs_label"),
+                S.node_uri_col(F.lit(spec.class_label), *vals).alias("uri"),
+                props.alias("props"),
                 F.col("_row_id"),
             )
             rowmap_parts.append(

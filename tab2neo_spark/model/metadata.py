@@ -49,6 +49,18 @@ class RelSpec:
 
 
 @dataclass(frozen=True)
+class PropertyMapping:
+    """Column -> (Class, Property) mapping — the MAPS_TO_PROPERTY path
+    (model_manager.py:1126-1199, model_applier.py:199-228). ``table_class``
+    '*' applies to any table."""
+
+    table_class: str
+    column: str
+    class_label: str
+    property_name: str
+
+
+@dataclass(frozen=True)
 class TermSpec:
     class_label: str
     codelist_code: str
@@ -64,6 +76,10 @@ class MetadataModel:
     subclass_of: list[tuple[str, str]] = field(default_factory=list)  # (child, parent)
     terms: list[TermSpec] = field(default_factory=list)
     same_as: list[tuple[str, str]] = field(default_factory=list)
+    property_mappings: list[PropertyMapping] = field(default_factory=list)
+    # subclass-edge JSON conditions keyed by (child, parent)
+    # (model_manager.py:237-242: SET sub.conditions = toJson(cond))
+    subclass_conditions: dict[tuple[str, str], dict] = field(default_factory=dict)
 
     # -- DDL surface (model_manager.py:48-394) ------------------------------
 
@@ -100,11 +116,82 @@ class MetadataModel:
             out.extend([frm, to])
         return sorted(set(out))
 
-    def create_subclass(self, parent: str, child: str) -> None:
+    def create_subclass(self, parent: str, child: str, conditions: dict | None = None) -> None:
+        """SUBCLASS_OF edge; optional JSON conditions ride on the edge
+        (model_manager.py:220-249, 3-element subclass_list form)."""
         self.create_class(parent)
         self.create_class(child)
         if (child, parent) not in self.subclass_of:
             self.subclass_of.append((child, parent))
+        if conditions is not None:
+            self.subclass_conditions[(child, parent)] = dict(conditions)
+
+    def set_short_label(self, label: str, short_label: str) -> None:
+        """model_manager.py:172-180."""
+        from dataclasses import replace
+
+        if label not in self.classes:
+            raise KeyError(f"unknown class {label!r}")
+        self.classes[label] = replace(self.classes[label], short_label=short_label)
+
+    def delete_relationship(self, rel_list: list[list[str]]) -> None:
+        """Delete [from, to, type] triplets (model_manager.py:374-394)."""
+        doomed = {tuple(r) for r in rel_list}
+        self.relationships = [
+            r
+            for r in self.relationships
+            if (r.from_label, r.to_label, r.relationship_type) not in doomed
+        ]
+
+    def delete_subclasses(self, subclass_list: list[list[str]]) -> None:
+        """Delete [parent, child] SUBCLASS_OF edges + rels the child only
+        inherited through that parent (model_manager.py:349-372)."""
+        for parent, child in subclass_list:
+            self.subclass_of = [
+                p for p in self.subclass_of if p != (child, parent)
+            ]
+            self.subclass_conditions.pop((child, parent), None)
+
+    def create_custom_mappings_from_dict(self, groupings: dict | None = None) -> None:
+        """``{table|'*': {Class: [column, ...]}}`` -> property mappings; the
+        column name doubles as the Property label, exactly like the
+        reference's MERGE on matching ``_columnname_``
+        (model_manager.py:1126-1199)."""
+        for table, grouping in (groupings or {}).items():
+            for cls, columns in grouping.items():
+                self.create_class(cls)
+                for col in columns:
+                    pm = PropertyMapping(table, col, cls, col)
+                    if pm not in self.property_mappings:
+                        self.property_mappings.append(pm)
+
+    def mappings_for_table(self, table_class: str) -> list[PropertyMapping]:
+        """Mappings applying to one table ('*' = wildcard), in insert order."""
+        return [
+            pm
+            for pm in self.property_mappings
+            if pm.table_class in (table_class, "*")
+        ]
+
+    def remove_unmapped_classes(self, table_classes: list[str]) -> None:
+        """Drop classes with no mapping path from any of the given tables
+        (model_manager.py:1054-1066): mapped = target of a relationship from
+        a table class, carries a property mapping, or is an ancestor of a
+        mapped class through SUBCLASS_OF."""
+        tables = set(table_classes)
+        mapped = {pm.class_label for pm in self.property_mappings}
+        mapped |= {
+            r.to_label for r in self.relationships if r.from_label in tables
+        }
+        # ancestors of mapped classes stay (SUBCLASS_OF*0..50 in the query)
+        anc: dict[str, set[str]] = {}
+        for child, a, _ in self.subclass_closure():
+            anc.setdefault(child, set()).add(a)
+        keep = set(tables)
+        for m in mapped:
+            keep |= anc.get(m, {m})
+        for label in [lb for lb in self.classes if lb not in keep]:
+            self.delete_class(label)
 
     def add_term(self, term: TermSpec) -> None:
         self.terms.append(term)
@@ -160,6 +247,62 @@ class MetadataModel:
             (self.classes[lb].short_label or lb) if lb in self.classes else lb
             for lb in labels
         ]
+
+    def translate_query_to_shortlabel(
+        self,
+        labels: list[str] | None,
+        rels: list[dict] | None = None,
+        labels_to_pack: dict | None = None,
+        where_map: dict | None = None,
+        where_rel_map: dict | None = None,
+        use_rel_labels: bool = True,
+    ):
+        """Whole-query shortlabel translation (model_manager.py:627-697):
+        labels -> {'label','short_label'} dicts, rel from/to renamed,
+        labels_to_pack keys+values renamed, where-map keys renamed. A rel's
+        own ``short_label`` overrides the TO-class's when ``use_rel_labels``
+        (reference :663-666)."""
+        labels = labels or []
+        rels = rels or []
+
+        def short(lb: str) -> str:
+            c = self.classes.get(lb)
+            return (c.short_label or lb) if c else lb
+
+        mapping = {lb: short(lb) for lb in labels}
+        for rel in rels:
+            for k in ("from", "to"):
+                if rel.get(k) is not None:
+                    mapping.setdefault(rel[k], short(rel[k]))
+        if labels_to_pack:
+            for key, value in labels_to_pack.items():
+                mapping.setdefault(key, short(key))
+                vals = [value] if isinstance(value, str) else list(value)
+                for v in vals:
+                    mapping.setdefault(v, short(v))
+        if use_rel_labels:
+            for rel in rels:
+                if rel.get("short_label"):
+                    mapping[rel["to"]] = rel["short_label"]
+
+        out_labels = [{"label": lb, "short_label": mapping[lb]} for lb in labels]
+        out_rels = [
+            {**rel, "from": mapping[rel["from"]], "to": mapping[rel["to"]]}
+            for rel in rels
+        ]
+        out_pack = None
+        if labels_to_pack is not None:
+            out_pack = {
+                mapping[k]: (
+                    mapping[v] if isinstance(v, str) else [mapping[i] for i in v]
+                )
+                for k, v in labels_to_pack.items()
+            }
+        out_where = {mapping.get(k, short(k)): v for k, v in (where_map or {}).items()}
+        out_where_rel = {
+            mapping.get(k, short(k)): v for k, v in (where_rel_map or {}).items()
+        }
+        return out_labels, out_rels, out_pack, out_where, out_where_rel
 
     def build_terms_for_distinct_values(
         self, df: DataFrame, class_label: str, codelist_code: str, value_col: str = "rdfs_label"

@@ -31,6 +31,7 @@ are skipped, used for output-schema prediction (D13).
 
 from __future__ import annotations
 
+import json
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -152,6 +153,110 @@ class DerivationMethod:
             if t == "get_data" and self.provider is None and self.source_df is None:
                 raise ValueError("get_data action requires a provider or source_df")
 
+    # -- method-as-graph JSON round-trip (D14, retrieve_json analog) ----------
+
+    def to_arrows_json(self) -> dict:
+        """Serialize the method to the reference's arrows.app graph-JSON
+        shape (derivation_method.py:379-576; golden files in the reference's
+        tests/derivation_method/data/expected_action_json/): one core Method
+        node, one node per action (second label = action type),
+        METHOD_ACTION edges from the core, and a NEXT chain fixing execution
+        order. Non-scalar action params serialize as JSON strings (the
+        apoc.convert.toJson discipline, model_manager.py:241), tracked in
+        ``_json_props`` so the round-trip is lossless."""
+        nodes = [
+            {
+                "id": "core0",
+                "position": {},
+                "caption": "",
+                "labels": ["Method"],
+                "properties": {"id": self.name},
+            }
+        ]
+        rels = []
+        prev = None
+        for i, a in enumerate(self.actions):
+            nid = f"a{i}"
+            props: dict = {}
+            json_keys = []
+            for k, v in a.items():
+                if isinstance(v, (dict, list, tuple)):
+                    props[k] = json.dumps(v, sort_keys=True)
+                    json_keys.append(k)
+                else:
+                    props[k] = v
+            if json_keys:
+                props["_json_props"] = json.dumps(sorted(json_keys))
+            nodes.append(
+                {
+                    "id": nid,
+                    "position": {},
+                    "caption": "",
+                    "labels": ["Method", a["type"]],
+                    "properties": props,
+                }
+            )
+            rels.append(
+                {"id": f"ma_rel_{nid}", "fromId": "core0", "toId": nid,
+                 "type": "METHOD_ACTION", "properties": {}, "style": {}}
+            )
+            if prev is not None:
+                rels.append(
+                    {"id": f"next_rel_{nid}", "fromId": prev, "toId": nid,
+                     "type": "NEXT", "properties": {}, "style": {}}
+                )
+            prev = nid
+        return {"nodes": nodes, "relationships": rels, "style": {}}
+
+    @classmethod
+    def from_arrows_json(
+        cls,
+        spark: SparkSession,
+        dct: dict,
+        provider=None,
+        source_df: DataFrame | None = None,
+    ) -> "DerivationMethod":
+        """Reconstruct a method from its graph JSON: the NEXT chain gives
+        the action order (get_last_action_node_id's topological walk,
+        derivation_method.py:387-394)."""
+        action_ids = {
+            r["toId"] for r in dct["relationships"] if r["type"] == "METHOD_ACTION"
+        }
+        by_id = {n["id"]: n for n in dct["nodes"]}
+        core = next(
+            n for n in dct["nodes"]
+            if "Method" in n["labels"] and n["id"] not in action_ids
+        )
+        succ = {
+            r["fromId"]: r["toId"]
+            for r in dct["relationships"]
+            if r["type"] == "NEXT"
+        }
+        starts = sorted(action_ids - set(succ.values()))
+        if len(starts) != 1 and action_ids:
+            raise ValueError(f"method JSON NEXT chain has {len(starts)} heads")
+        order = []
+        cur: str | None = starts[0] if starts else None
+        while cur is not None:
+            order.append(cur)
+            cur = succ.get(cur)
+        actions = []
+        for nid in order:
+            props = dict(by_id[nid]["properties"])
+            json_keys = set(json.loads(props.pop("_json_props", "[]")))
+            actions.append(
+                {
+                    k: (json.loads(v) if k in json_keys else v)
+                    for k, v in props.items()
+                }
+            )
+        return cls(
+            spark,
+            {"name": core["properties"]["id"], "actions": actions},
+            provider=provider,
+            source_df=source_df,
+        )
+
     # -- inputs/outputs prediction (D13) --------------------------------------
 
     def predict_output_columns(self, limit: int = 10) -> list[str]:
@@ -216,36 +321,47 @@ class DerivationMethod:
         if t == "assign_class":
             label = a["class"]
             value_col = a["value_column"]
+            # CT-compliance validation (action.py:1651-1654): every derived
+            # value must appear in the class's controlled terms; fail fast
+            ct = a.get("ct")
+            if ct is not None:
+                bad = (
+                    df.select(F.col(value_col).cast("string").alias("v"))
+                    .filter(F.col("v").isNotNull() & ~F.col("v").isin(list(ct)))
+                    .limit(5)
+                    .collect()
+                )
+                if bad:
+                    raise ValueError(
+                        f"Derived value {bad[0]['v']!r} for class {label!r} is not "
+                        "compliant with controlled terminology: (1) extend the CT "
+                        "or (2) update the derivation"
+                    )
+            # CLD_NAN discipline (action.py:1656-1660): with keep_nulls, null
+            # values merge into ONE node per class whose value property is
+            # NULL (the reference's fillna('CLD_NAN') + property cleanup)
+            if a.get("keep_nulls"):
+                keyed = F.coalesce(F.col(value_col).cast("string"), F.lit("CLD_NAN"))
+            else:
+                keyed = F.col(value_col).cast("string")
             nodes = (
-                df.select(F.col(value_col).cast("string").alias("rdfs_label"))
-                .filter(F.col("rdfs_label").isNotNull())
+                df.select(keyed.alias("_key"))
+                .filter(F.col("_key").isNotNull())
                 .distinct()
                 .select(
-                    F.xxhash64(F.lit(label), F.col("rdfs_label")).alias("node_id"),
+                    F.xxhash64(F.lit(label), F.col("_key")).alias("node_id"),
                     F.lit(label).alias("class"),
-                    F.col("rdfs_label"),
-                    node_uri_col(F.lit(label), F.col("rdfs_label")).alias("uri"),
+                    F.nullif(F.col("_key"), F.lit("CLD_NAN")).alias("rdfs_label")
+                    if a.get("keep_nulls")
+                    else F.col("_key").alias("rdfs_label"),
+                    node_uri_col(F.lit(label), F.col("_key")).alias("uri"),
                     F.lit(None).cast("map<string,string>").alias("props"),
                 )
             )
             res.new_nodes.append(nodes)
-            return df.withColumn(
-                f"_id_{label}", F.xxhash64(F.lit(label), F.col(value_col).cast("string"))
-            )
+            return df.withColumn(f"_id_{label}", F.xxhash64(F.lit(label), keyed))
         if t == "link":
-            # scenario 1 (action.py:1539-1547): explicit id pair columns
-            rel_type = a["relationship_type"]
-            edges = (
-                df.select(
-                    F.col(a["from_id"]).alias("src"),
-                    F.lit(rel_type).alias("rel_type"),
-                    F.col(a["to_id"]).alias("dst"),
-                )
-                .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-                .dropDuplicates()
-            )
-            res.new_edges.append(edges)
-            return df
+            return self._link(a, res)
         if t == "link_stat":
             # D7 LinkStat (action.py:1909-2010): one stat node per
             # dimension combination (uri = deterministic key of the dims),
@@ -305,6 +421,91 @@ class DerivationMethod:
                 stats=a.get("stats", ["n"]),
             )
         raise AssertionError(t)
+
+    def _link(self, a: dict, res: MethodResult) -> DataFrame:
+        """D6 Link, all four reference scenarios (action.py:1538-1596):
+
+        1. ``from_id`` + ``to_id``: id-pair columns -> one edge per row
+        2. ``from_id`` + literal ``to_value``: MERGE one node by
+           (to_class, to_value), link EVERY row's from node to it, and
+           write the merged node's id back as ``_id_<to_class>``
+        3. symmetric: literal ``from_value`` + ``to_id``
+        4. both literal: merge both nodes and a single edge
+
+        Merged literal nodes use the same deterministic id scheme as
+        assign_class, so scenario-2/3 nodes unify with value-derived ones.
+        """
+        df = res.df
+        rel_type = a["relationship_type"]
+
+        def _literal_node(cls: str, value: str) -> DataFrame:
+            node = self.spark.createDataFrame(
+                [(cls, str(value))], "class string, rdfs_label string"
+            ).select(
+                F.xxhash64(F.lit(cls), F.col("rdfs_label")).alias("node_id"),
+                "class",
+                "rdfs_label",
+                node_uri_col(F.lit(cls), F.col("rdfs_label")).alias("uri"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+            )
+            return node
+
+        has_from_lit = "from_value" in a
+        has_to_lit = "to_value" in a
+        if not has_from_lit and not has_to_lit:
+            # scenario 1
+            edges = (
+                df.select(
+                    F.col(a["from_id"]).alias("src"),
+                    F.lit(rel_type).alias("rel_type"),
+                    F.col(a["to_id"]).alias("dst"),
+                )
+                .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+                .dropDuplicates()
+            )
+            res.new_edges.append(edges)
+            return df
+
+        out = df
+        if has_to_lit:
+            cls, value = a["to_class"], str(a["to_value"])
+            res.new_nodes.append(_literal_node(cls, value))
+            out = out.withColumn(
+                f"_id_{cls}", F.xxhash64(F.lit(cls), F.lit(value))
+            )
+        if has_from_lit:
+            cls, value = a["from_class"], str(a["from_value"])
+            res.new_nodes.append(_literal_node(cls, value))
+            out = out.withColumn(
+                f"_id_{cls}", F.xxhash64(F.lit(cls), F.lit(value))
+            )
+
+        if has_from_lit and has_to_lit:
+            # scenario 4: a single edge between the two merged nodes
+            edges = self.spark.createDataFrame(
+                [(str(a["from_value"]), rel_type, str(a["to_value"]))],
+                "fv string, rel_type string, tv string",
+            ).select(
+                F.xxhash64(F.lit(a["from_class"]), F.col("fv")).alias("src"),
+                "rel_type",
+                F.xxhash64(F.lit(a["to_class"]), F.col("tv")).alias("dst"),
+            )
+            res.new_edges.append(edges)
+            return out
+
+        src_col = a["from_id"] if has_to_lit else f"_id_{a['from_class']}"
+        dst_col = f"_id_{a['to_class']}" if has_to_lit else a["to_id"]
+        edges = (
+            out.select(
+                F.col(src_col).alias("src"),
+                F.lit(rel_type).alias("rel_type"),
+                F.col(dst_col).alias("dst"),
+            )
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .dropDuplicates()
+        )
+        res.new_edges.append(edges)
+        return out
 
 
 def resolve_methods_order(methods: dict[str, dict]) -> list[str]:

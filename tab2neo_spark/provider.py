@@ -236,13 +236,49 @@ class DataProvider:
                 out_cols.append(F.col(f"_id_{lb}").alias(f"_id_{name}"))
         result = result.select(*out_cols)
 
-        # A1 packing: collect packed classes into per-row sorted lists
+        # A1 packing (query_builder.py:676-798). Two forms:
+        # - sequence / dict-with-list-value: collect the class's values into
+        #   a per-row sorted list (``collect(distinct x.rdfs:label)``)
+        # - dict-with-str-value {label: key_class}: pack label's values into
+        #   a MAP keyed by key_class's value (``apoc.map.fromPairs``); the
+        #   key class is consumed into the map (generate_with :792-793)
         if labels_to_pack:
-            pack = [lb for lb in labels_to_pack if lb in clean and lb not in excluded]
-            keys = [c for c in result.columns if c not in pack and not c.startswith("_id_")]
+            if isinstance(labels_to_pack, Mapping):
+                list_pack = [
+                    lb for lb, v in labels_to_pack.items()
+                    if isinstance(v, (list, tuple))
+                ]
+                map_pack = {
+                    lb: v for lb, v in labels_to_pack.items() if isinstance(v, str)
+                }
+            else:
+                list_pack, map_pack = list(labels_to_pack), {}
+            pack = [lb for lb in list_pack if lb in clean and lb not in excluded]
+            for lb, kc in map_pack.items():
+                if lb not in result.columns or kc not in result.columns:
+                    raise QuerySpecError(
+                        f"labels_to_pack map form needs both {lb!r} and key "
+                        f"class {kc!r} in the query output"
+                    )
+            consumed = set(pack) | set(map_pack) | set(map_pack.values())
+            keys = [
+                c for c in result.columns
+                if c not in consumed and not c.startswith("_id_")
+            ]
             aggs = [
                 F.sort_array(F.collect_set(lb)).alias(f"{lb}s") for lb in pack
             ]
+            for lb, kc in map_pack.items():
+                entries = F.sort_array(
+                    F.collect_set(
+                        F.when(
+                            F.col(kc).isNotNull() & F.col(lb).isNotNull(),
+                            F.struct(F.col(kc).alias("key"), F.col(lb).alias("value")),
+                        )
+                    )
+                )
+                entries = F.filter(entries, lambda x: x.isNotNull())
+                aggs.append(F.map_from_entries(entries).alias(f"{lb}_map"))
             result = result.groupBy(*keys).agg(*aggs)
 
         if limit is not None:

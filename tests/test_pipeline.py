@@ -261,3 +261,194 @@ def test_pack_map_operator(spark, test_data):
     out = pack_map(test_data, ["Study"], "Subject", "Age", out_col="ages")
     m = out.collect()[0]["ages"]
     assert dict(m) == {"S001": 30, "S002": 40, "S003": 20}
+
+
+# ---------------------------------------------------------------------------
+# D6 Link scenarios 2/3/4 (action.py:1550-1596), CT validation, CLD_NAN
+# ---------------------------------------------------------------------------
+
+
+def test_link_scenario_2_literal_to_node(spark, test_data):
+    """Merge ONE node by literal value, link every row's from node to it,
+    write the merged id back to the df."""
+    spec = {
+        "name": "lit_to",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Subject", "value_column": "Subject"},
+            {"type": "link", "relationship_type": "IN_POPULATION",
+             "from_id": "_id_Subject", "to_class": "Population",
+             "to_value": "SAFETY"},
+        ],
+    }
+    res = DerivationMethod(spark, spec, source_df=test_data).apply()
+    # one merged Population node
+    pop = res.new_nodes[-1].collect()
+    assert len(pop) == 1 and pop[0]["rdfs_label"] == "SAFETY"
+    # every subject linked to the single node
+    edges = res.new_edges[-1].collect()
+    assert len(edges) == 3
+    assert len({e["dst"] for e in edges}) == 1
+    assert {e["dst"] for e in edges} == {pop[0]["node_id"]}
+    # id writeback for further processing (action.py:1565-1567)
+    assert "_id_Population" in res.df.columns
+    assert res.df.select("_id_Population").distinct().count() == 1
+
+
+def test_link_scenario_3_literal_from_node(spark, test_data):
+    spec = {
+        "name": "lit_from",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Subject", "value_column": "Subject"},
+            {"type": "link", "relationship_type": "HAS_SUBJECT",
+             "from_class": "Study", "from_value": "STUDY1",
+             "to_id": "_id_Subject"},
+        ],
+    }
+    res = DerivationMethod(spark, spec, source_df=test_data).apply()
+    edges = res.new_edges[-1].collect()
+    assert len(edges) == 3 and len({e["src"] for e in edges}) == 1
+    assert "_id_Study" in res.df.columns
+
+
+def test_link_scenario_4_both_literal(spark, test_data):
+    spec = {
+        "name": "lit_both",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "link", "relationship_type": "PART_OF",
+             "from_class": "Study", "from_value": "STUDY1",
+             "to_class": "Project", "to_value": "PROJ9"},
+        ],
+    }
+    res = DerivationMethod(spark, spec, source_df=test_data).apply()
+    edges = res.new_edges[-1].collect()
+    assert len(edges) == 1
+    nodes = {(r["class"], r["rdfs_label"])
+             for part in res.new_nodes for r in part.collect()}
+    assert nodes == {("Study", "STUDY1"), ("Project", "PROJ9")}
+
+
+def test_literal_node_id_unifies_with_assign_class(spark, test_data):
+    """Scenario-2 merged node ids match assign_class-derived ids for the
+    same (class, value) — MERGE semantics across actions."""
+    spec = {
+        "name": "unify",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Study", "value_column": "Study"},
+            {"type": "link", "relationship_type": "X",
+             "from_id": "_id_Study", "to_class": "Study", "to_value": "STUDY1"},
+        ],
+    }
+    res = DerivationMethod(spark, spec, source_df=test_data).apply()
+    derived = {r["node_id"] for r in res.new_nodes[0].collect()}
+    literal = {r["node_id"] for r in res.new_nodes[1].collect()}
+    assert literal <= derived
+
+
+def test_assign_class_ct_validation(spark, test_data):
+    """action.py:1651-1654: non-compliant derived values raise."""
+    ok = {
+        "name": "ct_ok",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Sex", "value_column": "Sex",
+             "ct": ["M", "F"]},
+        ],
+    }
+    DerivationMethod(spark, ok, source_df=test_data).apply()
+    bad = {
+        "name": "ct_bad",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Sex", "value_column": "Sex",
+             "ct": ["M"]},
+        ],
+    }
+    with pytest.raises(ValueError, match="controlled terminology"):
+        DerivationMethod(spark, bad, source_df=test_data).apply()
+
+
+def test_assign_class_keep_nulls_cld_nan(spark):
+    """action.py:1656-1660: with keep_nulls, null values merge into ONE
+    node per class whose value property is NULL."""
+    df = spark.createDataFrame(
+        [("S1", "M"), ("S2", None), ("S3", None)], "Subject string, Sex string"
+    )
+    spec = {
+        "name": "nan",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Sex", "value_column": "Sex",
+             "keep_nulls": True},
+        ],
+    }
+    res = DerivationMethod(spark, spec, source_df=df).apply()
+    nodes = res.new_nodes[0].collect()
+    assert len(nodes) == 2  # 'M' + the single NULL node
+    null_nodes = [n for n in nodes if n["rdfs_label"] is None]
+    assert len(null_nodes) == 1
+    # both null rows share the null node's id
+    ids = res.df.select("Subject", "_id_Sex").collect()
+    by_subj = {r["Subject"]: r["_id_Sex"] for r in ids}
+    assert by_subj["S2"] == by_subj["S3"] == null_nodes[0]["node_id"]
+    assert by_subj["S1"] != by_subj["S2"]
+
+
+def test_method_json_round_trip(spark, test_data):
+    """D14 retrieve_json analog: spec -> arrows graph JSON -> spec, lossless
+    (mirrors the reference's expected_action_json golden fixtures)."""
+    spec = {
+        "name": "derive_newv",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "run_script", "script": "multiply_cols",
+             "params": {"columns": ["Age", "TestValue"], "new_column": "NEWV"}},
+            {"type": "filter", "where_map": {"NEWV": {"min": "10"}}},
+            {"type": "assign_class", "class": "NewValue", "value_column": "NEWV"},
+            {"type": "assign_class", "class": "Subject", "value_column": "Subject"},
+            {"type": "link", "relationship_type": "HAS_NEWV",
+             "from_id": "_id_Subject", "to_id": "_id_NewValue"},
+        ],
+    }
+    m = DerivationMethod(spark, spec, source_df=test_data)
+    dct = m.to_arrows_json()
+    # golden-shape checks: core Method node, METHOD_ACTION per action, NEXT chain
+    assert dct["nodes"][0] == {
+        "id": "core0", "position": {}, "caption": "",
+        "labels": ["Method"], "properties": {"id": "derive_newv"},
+    }
+    assert sum(1 for r in dct["relationships"] if r["type"] == "METHOD_ACTION") == 6
+    assert sum(1 for r in dct["relationships"] if r["type"] == "NEXT") == 5
+    assert dct["nodes"][2]["labels"] == ["Method", "run_script"]
+
+    m2 = DerivationMethod.from_arrows_json(spark, dct, source_df=test_data)
+    assert m2.name == m.name
+    assert m2.actions == m.actions
+    # double round-trip is a fixpoint
+    assert m2.to_arrows_json() == dct
+    # and the reconstructed method still runs
+    res = m2.apply()
+    assert res.df.count() == 3
+
+
+def test_method_json_round_trip_supermethod(spark, test_data):
+    """Supermethods serialize EXPANDED (primitive actions), like the
+    reference persisting the compiled NEXT chain."""
+    spec = {
+        "name": "sup",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "subject_level_link", "class": "Age",
+             "subject_column": "Subject", "value_column": "Age"},
+        ],
+    }
+    m = DerivationMethod(spark, spec, source_df=test_data)
+    dct = m.to_arrows_json()
+    m2 = DerivationMethod.from_arrows_json(spark, dct, source_df=test_data)
+    assert [a["type"] for a in m2.actions] == [
+        "get_data", "assign_class", "assign_class", "link"
+    ]
+    assert m2.actions == m.actions

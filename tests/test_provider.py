@@ -283,3 +283,43 @@ def test_rel_map_unknown_keys_raise(rel_dialect_dp):
         rel_dialect_dp.get_data(
             ["A"], where_rel_map={"Z": {"EXISTS": {"include": ["B"]}}}
         )
+
+
+def test_labels_to_pack_map_form(spark):
+    """A1 map packing (query_builder.py:753-798): {label: key_class} packs
+    label values into a map keyed by the key class's value; the key class
+    is consumed into the map."""
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    nodes = spark.createDataFrame(
+        [
+            (10, "S", "s1", None, None), (11, "S", "s2", None, None),
+            (20, "G", "young", None, None), (21, "G", "old", None, None),
+            (30, "D", "DEF_Y", None, None), (31, "D", "DEF_O", None, None),
+        ],
+        "node_id long, class string, rdfs_label string, uri string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(10, "HAS", 20), (11, "HAS", 21), (20, "DEF", 30), (21, "DEF", 31)],
+        "src long, rel_type string, dst long",
+    )
+    m = MetadataModel()
+    m.create_related_classes_from_list([["S", "G", "HAS"], ["G", "D", "DEF"]])
+    dp = DataProvider(spark, m, nodes, edges)
+    got = dp.get_data(
+        ["S", "G", "D"],
+        rels=[{"from": "S", "to": "G", "type": "HAS"},
+              {"from": "G", "to": "D", "type": "DEF"}],
+        labels_to_pack={"G": "D"},
+    )
+    assert set(got.columns) == {"S", "G_map"}
+    rows = {r["S"]: dict(r["G_map"]) for r in got.collect()}
+    assert rows == {"s1": {"DEF_Y": "young"}, "s2": {"DEF_O": "old"}}
+
+
+def test_labels_to_pack_dict_list_value(provider, expected_mentions):
+    """dict-with-list-value is the list-packing form (generate_with :790)."""
+    got = provider.get_data(
+        ["Page", "Operator"], labels_to_pack={"Operator": ["Page"]}
+    )
+    assert got.columns == ["Page", "Operators"]

@@ -141,3 +141,110 @@ def test_label_entities_extra_labels(spark, refactored, model):
     assert got == {
         ("STUDY1", "S001"), ("STUDY1", "S002"), ("STUDY1", "S003"), ("STUDY2", "S001")
     }
+
+
+# ---------------------------------------------------------------------------
+# R1/R2 MAPS_TO_PROPERTY mode: multi-column -> multi-property entities
+# (reference tests/tests_model_applier/test_extract_entities.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def car_df(spark):
+    # test_extract_class_entities_D's row set, with an id so duplicate
+    # (color, make) rows stay distinct source rows
+    rows = [
+        (1, "white", "Toyota"), (2, "white", "Honda"), (3, "white", "Lamborghini"),
+        (4, "blue", "Toyota"), (5, "blue", "Toyota"), (6, "blue", "Honda"),
+        (7, "red", "Porsche"),
+    ]
+    return spark.createDataFrame(rows, "rid int, car_color string, car_make string")
+
+
+def test_custom_mappings_plan_one_spec_per_class(car_df):
+    """part_1_A: a class's (col, prop) pairs collapse into ONE spec."""
+    m = MetadataModel()
+    m.create_class("Automotive")
+    m.create_custom_mappings_from_dict(
+        {"Automotive": {"car": ["car_color", "car_make"]}}
+    )
+    specs = plan_extraction(m, "Automotive")
+    assert len(specs) == 1
+    assert specs[0].class_label == "car"
+    assert sorted(specs[0].columns) == [
+        ("car_color", "car_color"), ("car_make", "car_make")
+    ]
+
+
+def test_multi_property_merge_semantics(spark, car_df):
+    """part_2_D: one car node per distinct (color, make) pair; the repeated
+    (blue, Toyota) pair merges but keeps both FROM_DATA provenance edges."""
+    from tab2neo_spark.model.metadata import PropertyMapping
+
+    m = MetadataModel()
+    m.create_class("Automotive")
+    m.property_mappings += [
+        PropertyMapping("Automotive", "car_color", "car", "color"),
+        PropertyMapping("Automotive", "car_make", "car", "make"),
+    ]
+    specs = plan_extraction(m, "Automotive")
+    res = RefactorEngine(spark, m).extract_class_entities(car_df, specs, "Automotive")
+    cars = res.nodes.collect()
+    got = {(r["props"]["color"], r["props"]["make"]) for r in cars}
+    assert got == {
+        ("white", "Toyota"), ("white", "Honda"), ("white", "Lamborghini"),
+        ("blue", "Toyota"), ("blue", "Honda"), ("red", "Porsche"),
+    }
+    assert len(cars) == 6  # (blue, Toyota) merged across two rows
+    # provenance: the merged node keeps one FROM_DATA edge per source row
+    assert res.edges.filter(F.col("rel_type") == "FROM_DATA").count() == 7
+
+
+def test_multi_property_null_subset_identity(spark):
+    """A row missing one mapped column merges on the present subset — a
+    {color} node is NOT the same identity as a {color, make} node."""
+    from tab2neo_spark.model.metadata import PropertyMapping
+
+    df = spark.createDataFrame(
+        [(1, "blue", "Toyota"), (2, "blue", None), (3, None, None)],
+        "rid int, car_color string, car_make string",
+    )
+    m = MetadataModel()
+    m.create_class("Automotive")
+    m.property_mappings += [
+        PropertyMapping("Automotive", "car_color", "car", "color"),
+        PropertyMapping("Automotive", "car_make", "car", "make"),
+    ]
+    res = RefactorEngine(spark, m).extract_class_entities(
+        df, plan_extraction(m, "Automotive"), "Automotive"
+    )
+    nodes = res.nodes.collect()
+    assert len(nodes) == 2  # all-null row extracted nothing
+    props = sorted((dict(r["props"]) for r in nodes), key=len)
+    assert props == [{"color": "blue"}, {"color": "blue", "make": "Toyota"}]
+
+
+def test_multi_property_rdfs_label_pair(spark, car_df):
+    """A pair mapped to rdfs_label feeds the canonical value column; the
+    rest go to the props map."""
+    from tab2neo_spark.model.metadata import PropertyMapping
+
+    m = MetadataModel()
+    m.create_class("Automotive")
+    m.property_mappings += [
+        PropertyMapping("Automotive", "car_make", "car", "rdfs_label"),
+        PropertyMapping("Automotive", "car_color", "car", "color"),
+    ]
+    res = RefactorEngine(spark, m).extract_class_entities(
+        car_df, plan_extraction(m, "Automotive"), "Automotive"
+    )
+    rows = {(r["rdfs_label"], r["props"]["color"]) for r in res.nodes.collect()}
+    assert ("Toyota", "blue") in rows and ("Porsche", "red") in rows
+
+
+def test_wildcard_table_mapping(spark, car_df):
+    """'*' groupings apply to every table (model_manager.py:1145-1147)."""
+    m = MetadataModel()
+    m.create_custom_mappings_from_dict({"*": {"car": ["car_color"]}})
+    specs = plan_extraction(m, "AnyTable")
+    assert [s.class_label for s in specs] == ["car"]
