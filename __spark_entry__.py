@@ -727,11 +727,13 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH near-dup: 32 sign bits x 4 bands (multiprobe), exact
+    cosine verify — the oracle replicates the identical blocking."""
     from tab2neo_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, "embedding", "vec_id",
-                                    threshold=0.4, bucket_bits=2)
+                                    threshold=0.4, num_bits=32, bands=4)
 
 
 def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,9 +767,10 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState): closed
-    user sessions from the events stream. Streaming state semantics are
-    not SQL-expressible -> no oracle (rows-only check)."""
+    """Custom stateful streaming operator (applyInPandasWithState): CLOSED
+    user sessions from the events stream. Closed sessions ARE batch-SQL
+    expressible (lag/cumsum, minus each user's final open session), so this
+    gets a full DuckDB oracle; timestamps compare as epoch micros."""
     import uuid
 
     from tab2neo_spark.streaming.sessions import sessionize_stream
@@ -784,11 +787,12 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"sessions_{uuid.uuid4().hex[:8]}"
     q = (out.writeStream.outputMode("append").format("memory")
          .queryName(qname).trigger(availableNow=True).start())
-    # ProcessingTimeTimeout keeps the query alive to fire state timeouts;
-    # drain what's available deterministically, then stop
     q.processAllAvailable()
     q.stop()
-    return spark.sql(f"SELECT user_id, session_start, session_end, n_events FROM {qname}")
+    return spark.sql(
+        f"SELECT user_id, unix_micros(session_start) AS start_us, "
+        f"unix_micros(session_end) AS end_us, n_events FROM {qname}"
+    )
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,15 +1086,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_neardup": """
             WITH e AS (
-                SELECT vec_id, embedding::DOUBLE[] AS v,
-                       (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-                        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS b
-                FROM embeddings
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            banded AS (
+                SELECT vec_id, v, band,
+                       list_aggregate(
+                           list_transform(range(band * 8 + 1, band * 8 + 9),
+                                          d -> CASE WHEN v[d] >= 0 THEN '1' ELSE '0' END),
+                           'string_agg', '') AS sig
+                FROM e CROSS JOIN (SELECT unnest(range(4)) AS band)
+            ),
+            cand AS (
+                SELECT DISTINCT x.vec_id AS a, x.v AS va, y.vec_id AS b, y.v AS vb
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
             )
-            SELECT x.vec_id AS a, y.vec_id AS b,
-                   floor(list_cosine_similarity(x.v, y.v) * 1e6 + 0.5) / 1e6 AS cos_sim
-            FROM e x JOIN e y ON x.b = y.b AND x.vec_id < y.vec_id
-            WHERE floor(list_cosine_similarity(x.v, y.v) * 1e6 + 0.5) / 1e6 >= 0.4
+            SELECT a, b,
+                   floor(list_cosine_similarity(va, vb) * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM cand
+            WHERE floor(list_cosine_similarity(va, vb) * 1e6 + 0.5) / 1e6 >= 0.4
         """,
         "salted_distinct": """
             SELECT l_suppkey, count(DISTINCT l_partkey) AS n_distinct_l_partkey
@@ -1285,6 +1299,29 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ) GROUP BY user_id
+        """,
+        "stream_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+                FROM o
+            ), agg AS (
+                SELECT user_id, sess,
+                       min(ts) AS session_start, max(ts) AS session_end,
+                       count(*)::BIGINT AS n_events,
+                       max(sess) OVER (PARTITION BY user_id) AS max_sess
+                FROM s GROUP BY user_id, sess
+            )
+            SELECT user_id, epoch_us(session_start)::BIGINT AS start_us,
+                   epoch_us(session_end)::BIGINT AS end_us, n_events
+            FROM agg WHERE sess < max_sess
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count

@@ -132,17 +132,20 @@ def link_entities(
     from tab2neo_spark.extract.mentions import gazetteer_pattern
 
     pat = gazetteer_pattern(surfaces)
-    hits = pages_text.select(
+    # page vector computed ONCE per page, BEFORE the explode — a page with
+    # 20 candidate surfaces must not hash its full text 20x; the explode
+    # then duplicates a 16-double vector, not a UDF evaluation
+    pages_with_vec = pages_text.withColumn(
+        "page_vec", hash_embedding_udf(dim)(F.col(text_col))
+    )
+    hits = pages_with_vec.select(
         id_col,
-        text_col,
+        "page_vec",
         F.explode(
             F.array_distinct(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 1))
         ).alias("surface"),
     )
-    page_vecs = hits.withColumn("page_vec", hash_embedding_udf(dim)(F.col(text_col))).drop(
-        text_col
-    )
-    cands = page_vecs.join(F.broadcast(candidate_map), "surface", "inner").join(
+    cands = hits.join(F.broadcast(candidate_map), "surface", "inner").join(
         F.broadcast(entity_embeddings(spark, entities, dim)), "entity", "inner"
     )
     return score_and_resolve(cands, id_col=id_col)

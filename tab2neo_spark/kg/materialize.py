@@ -131,32 +131,61 @@ class GraphStore:
             existing = self.spark.read.parquet(path).select(*dedup_key).distinct()
             out = out.join(existing, dedup_key, "left_anti")
 
-        # per-partition lineage: row histogram by spark partition id,
-        # computed in the same pass shape the write uses
-        hist = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .count()
-            .collect()
-        )
-        row_count = sum(r["count"] for r in hist)
+        # lineage WITHOUT a second pass: the row count rides on the write
+        # itself via df.observe (one job, one scan — a pre-write
+        # groupBy().count().collect() would execute the full stage DAG
+        # twice, doubling the most expensive jobs at scale), and the
+        # per-file histogram comes from the written parquet FOOTERS
+        # (metadata-only — Iceberg deployments read the same numbers from
+        # snapshot manifests)
+        from pyspark.sql import Observation
+
+        before_files = self._parquet_files(path)
+        obs = Observation(f"{run_id}__{stage}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("row_count"))
 
         writer = out.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
+        row_count = obs.get["row_count"]
+        hist = self._footer_histogram(self._parquet_files(path) - before_files)
+
         payload = {
             "run_id": run_id,
             "stage": stage,
             "table": table,
             "row_count": row_count,
-            "partitions": {str(r["partition_id"]): r["count"] for r in hist},
+            "partitions": hist,
             "wall_s": round(time.time() - t0, 3),
             "status": "done",
             "ts": time.time(),
         }
         self.write_checkpoint(run_id, stage, payload)
         return payload
+
+    @staticmethod
+    def _parquet_files(path: str) -> set[str]:
+        out: set[str] = set()
+        if not os.path.isdir(path):
+            return out
+        for dirpath, _, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.add(os.path.join(dirpath, fn))
+        return out
+
+    def _footer_histogram(self, files: set[str]) -> dict[str, int]:
+        """Per-output-file row counts from parquet footer metadata — no
+        data scan; the driver reads a few KB per file."""
+        import pyarrow.parquet as pq
+
+        hist: dict[str, int] = {}
+        for f in sorted(files):
+            rel = os.path.relpath(f, self.root)
+            hist[rel] = pq.ParquetFile(f).metadata.num_rows
+        return hist
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
@@ -203,12 +232,72 @@ class GraphStore:
             rec["status"] = "rolled_back"
             self.write_checkpoint(run_id, rec["stage"], rec)
 
+    def rollback_action(self, run_id: str, action_idx: int, tables: list[str]) -> None:
+        """Per-action rollback (the reference's Changes-node inverse,
+        action.py:1699-1749 / derivation_method.py:596-671): revert ONE
+        action's writes while keeping the rest of the run. Rows written via
+        :func:`write_method_result` carry ``_action``; the rewrite filters
+        on (run_id, _action) — Iceberg/Delta deployments do a row-level
+        DELETE instead."""
+        for table in tables:
+            path = self.path(table)
+            if not os.path.isdir(path):
+                continue
+            df = self.spark.read.parquet(path)
+            if "_action" not in df.columns:
+                continue
+            kept = df.filter(
+                ~((F.col("run_id") == run_id) & (F.col("_action") == action_idx))
+            )
+            tmp = path + "__rollback_tmp"
+            writer = kept.write.mode("overwrite")
+            parts = self.table_partitioning(table)
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(tmp)
+            self._swap_dirs(tmp, path)
+        marker = f"__a{action_idx}_"
+        for rec in self.checkpoints(run_id):
+            if marker in rec["stage"]:
+                rec["status"] = "rolled_back"
+                self.write_checkpoint(run_id, rec["stage"], rec)
+
     @staticmethod
     def _swap_dirs(src: str, dst: str) -> None:
         import shutil
 
         shutil.rmtree(dst)
         os.replace(src, dst)
+
+
+def write_method_result(
+    store: GraphStore,
+    res,
+    run_id: str,
+    method_name: str = "method",
+) -> dict:
+    """Persist a MethodResult's new_nodes/new_edges batches with per-ACTION
+    provenance: every row carries ``_action`` (the producing action's index
+    from ``res.node_actions``/``res.edge_actions``) so
+    :meth:`GraphStore.rollback_action` can revert a single action — the
+    reference's ``(action)-[:APPLIED]->(Changes)`` discipline without
+    driver-side id lists."""
+    results: dict = {}
+    for j, (df, idx) in enumerate(zip(res.new_nodes, res.node_actions)):
+        stage = f"{method_name}__a{idx}_nodes{j}"
+        results[stage] = store.write_stage(
+            df.withColumn("_action", F.lit(idx)),
+            "nodes", run_id, stage,
+            partition_by=["class"], dedup_key=["node_id"],
+        )
+    for j, (df, idx) in enumerate(zip(res.new_edges, res.edge_actions)):
+        stage = f"{method_name}__a{idx}_edges{j}"
+        results[stage] = store.write_stage(
+            df.withColumn("_action", F.lit(idx)),
+            "edges", run_id, stage,
+            partition_by=["rel_type"], dedup_key=["src", "rel_type", "dst"],
+        )
+    return results
 
 
 def materialize_kg(

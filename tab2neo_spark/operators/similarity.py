@@ -154,25 +154,67 @@ def embedding_near_dup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    bucket_bits: int = 2,
+    num_bits: int = 32,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold, blocked by sign bucket.
+    """Near-duplicate pairs by cosine >= threshold, banded sign-LSH blocking
+    (the minhash-LSH shape, applied to hyperplane signs).
 
-    All-pairs cosine is O(n^2); sign-bucket blocking makes each bucket's
-    self-join independent (and 2^b× smaller). Near-dups disagreeing in an
-    early-dimension sign are missed — acceptable for near-dup thresholds
-    close to 1 where vectors are nearly identical."""
-    with_b = df.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bucket_bits).alias("__b")
+    All-pairs cosine is O(n^2). A single sign bucket of b bits either
+    under-blocks (small b: ~n^2/2^b in-bucket pairs — a scale-killer) or
+    under-recalls (large b: one flipped sign loses the pair). Banding fixes
+    both: the first ``num_bits`` sign bits split into ``bands`` bands of
+    r = num_bits/bands bits; two vectors are candidates iff they agree on
+    EVERY bit of at least ONE band. Near-identical vectors disagree on few
+    signs, so some band stays clean (multiprobe recall), while each band
+    has 2^r buckets (strong blocking). Candidates verify with exact cosine.
+
+    At corpus scale: bucket join shuffles (id, vec, band, sig) — bump
+    num_bits/bands so 2^(num_bits/bands) ~ corpus_size/10^4 to keep bucket
+    self-joins bounded."""
+    if num_bits % bands:
+        raise ValueError("num_bits must divide evenly into bands")
+    r = num_bits // bands
+    bits = F.transform(
+        F.slice(F.col(vec_col), 1, num_bits),
+        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
     )
-    a = with_b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "__b")
-    b = with_b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "__b")
+    with_bits = df.select(F.col(id_col), F.col(vec_col), bits.alias("__bits"))
+    banded = with_bits.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.array_join(F.slice(F.col("__bits"), i * r + 1, r), "").alias("sig"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__bb.band").alias("__band"),
+        F.col("__bb.sig").alias("__sig"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "__band", "__sig"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "__band", "__sig"
+    )
     from tab2neo_spark.operators.numeric import det_round
 
-    sim = det_round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6)
+    sim = det_round(
+        cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6
+    )
     return (
-        a.join(b, "__b")
+        a.join(b, ["__band", "__sig"])
         .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])  # a pair may collide in several bands
         .withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")

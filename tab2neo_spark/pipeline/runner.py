@@ -74,6 +74,10 @@ class MethodResult:
     new_edges: list[DataFrame] = field(default_factory=list)
     audit: list[dict] = field(default_factory=list)
     branches: dict[str, DataFrame] = field(default_factory=dict)
+    # Changes-analog provenance (action.py:1699-1749): which action produced
+    # each new_nodes/new_edges batch — positionally aligned with those lists
+    node_actions: list[int] = field(default_factory=list)
+    edge_actions: list[int] = field(default_factory=list)
 
 
 class DerivationMethod:
@@ -279,7 +283,10 @@ class DerivationMethod:
                 # mode, derivation_method.py:249-307)
                 res.audit.append({"action": t, "idx": i, "skipped": "limited"})
                 continue
+            n0, e0 = len(res.new_nodes), len(res.new_edges)
             res.df = self._dispatch(t, a, res)
+            res.node_actions += [i] * (len(res.new_nodes) - n0)
+            res.edge_actions += [i] * (len(res.new_edges) - e0)
             if res.df is not None and limit is not None and t == "get_data":
                 res.df = res.df.limit(limit)
             res.audit.append(

@@ -85,3 +85,28 @@ def test_deterministic_across_runs(spark, pages_text, candidate_map):
 def test_hash_vec_unit_norm():
     v = _hash_vec("anything")
     assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+
+
+def test_page_vec_computed_before_explode(spark):
+    """Plan guard: the page-embedding UDF evaluates on pages (before the
+    surface explode), never per hit row — ArrowEvalPython must sit BELOW
+    Generate in the analyzed plan."""
+    from tab2neo_spark.kg.link import link_entities
+
+    pages = spark.createDataFrame(
+        [("u1", "the filter and join operators"), ("u2", "join only")],
+        "url string, text string",
+    )
+    cand = spark.createDataFrame(
+        [("filter", "Operator:filter"), ("join", "Operator:join"),
+         ("join", "Structure:join")],
+        "surface string, entity string",
+    )
+    out = link_entities(spark, pages, cand)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    gen_pos = plan.find("Generate")
+    arrow_pos = plan.find("ArrowEvalPython")
+    assert gen_pos != -1 and arrow_pos != -1
+    # plan strings print top-down: the node executed LAST prints first, so
+    # "evaluates before the explode" = ArrowEvalPython printed BELOW Generate
+    assert arrow_pos > gen_pos, plan

@@ -78,3 +78,66 @@ def test_rollback_run(spark, sf_dir):
         assert {r["run_id"] for r in store.read("triples").select("run_id").distinct().collect()} == {"r1"}
         statuses = {c["stage"]: c["status"] for c in store.checkpoints("r2")}
         assert set(statuses.values()) == {"rolled_back"}
+
+
+def test_write_stage_single_job(spark, tmp_path):
+    """Lineage must ride on the write itself (df.observe + footer counts):
+    exactly ONE Spark job per fresh write_stage — the old pre-write
+    groupBy().count().collect() executed the stage DAG twice."""
+    from tab2neo_spark.kg.materialize import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    df = spark.range(1000).select(
+        F.col("id").alias("node_id"), F.lit("C").alias("class")
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("ws_single_job", "write_stage job-count probe")
+    try:
+        payload = store.write_stage(df, "nodes", "r1", "nodes")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("ws_single_job")
+    assert len(jobs) == 1, f"write_stage ran {len(jobs)} jobs, expected 1"
+    assert payload["row_count"] == 1000
+    # footer-derived histogram still sums to the observed count
+    assert sum(payload["partitions"].values()) == 1000
+
+
+def test_per_action_rollback(spark, tmp_path):
+    """Changes-analog (action.py:1699-1749): revert ONE action's writes
+    while keeping the other actions' nodes/edges."""
+    from tab2neo_spark.kg.materialize import GraphStore, write_method_result
+    from tab2neo_spark.pipeline.runner import DerivationMethod
+
+    df = spark.createDataFrame(
+        [("S1", "M"), ("S2", "F")], "Subject string, Sex string"
+    )
+    spec = {
+        "name": "two_writes",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Subject", "value_column": "Subject"},
+            {"type": "assign_class", "class": "Sex", "value_column": "Sex"},
+            {"type": "link", "relationship_type": "HAS_SEX",
+             "from_id": "_id_Subject", "to_id": "_id_Sex"},
+        ],
+    }
+    res = DerivationMethod(spark, spec, source_df=df).apply()
+    assert res.node_actions == [1, 2] and res.edge_actions == [3]
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    write_method_result(store, res, "r1", "two_writes")
+    assert store.read("nodes").count() == 4
+    assert store.read("edges").count() == 2
+
+    # revert only action 2 (the Sex class assignment)
+    store.rollback_action("r1", 2, ["nodes", "edges"])
+    nodes = store.read("nodes")
+    assert nodes.count() == 2
+    assert {r["class"] for r in nodes.collect()} == {"Subject"}
+    # other actions' writes survive
+    assert store.read("edges").count() == 2
+    # that action's checkpoints are marked, others untouched
+    by_stage = {c["stage"]: c["status"] for c in store.checkpoints("r1")}
+    assert by_stage["two_writes__a2_nodes1"] == "rolled_back"
+    assert by_stage["two_writes__a1_nodes0"] == "done"
