@@ -297,6 +297,14 @@ def write_method_result(
             "edges", run_id, stage,
             partition_by=["rel_type"], dedup_key=["src", "rel_type", "dst"],
         )
+    for j, (df, idx) in enumerate(zip(getattr(res, "new_labels", []),
+                                      getattr(res, "label_actions", []))):
+        stage = f"{method_name}__a{idx}_labels{j}"
+        results[stage] = store.write_stage(
+            df.withColumn("_action", F.lit(idx)),
+            "labels", run_id, stage,
+            partition_by=["extra_label"], dedup_key=["node_id", "extra_label"],
+        )
     return results
 
 

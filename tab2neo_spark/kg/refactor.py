@@ -252,6 +252,48 @@ class RefactorEngine:
             F.xxhash64(F.lit("Class"), F.col("class")).alias("dst"),
         ).dropDuplicates()
 
+    # -- R5 -------------------------------------------------------------------
+
+    def link_via_is_a(self, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+        """R5 (model_applier.py:433-476, reshape_all's path): like
+        link_classes, but driven by the MATERIALIZED graph instead of the
+        in-flight row_map — entity classes come from the node table, row
+        co-membership from FROM_DATA edges, so it works on a graph loaded
+        back from storage. Already-present edges are anti-joined away (the
+        reference's ``WHERE NOT (ent1)-[]->(ent2)`` guard)."""
+        row_map = (
+            edges.filter(F.col("rel_type") == FROM_DATA)
+            .join(
+                nodes.select("node_id", "class"),
+                edges["src"] == nodes["node_id"],
+                "inner",
+            )
+            .select(F.col("dst").alias("row_id"), "class", "node_id")
+        )
+        new_edges = self.link_classes(row_map)
+        existing = edges.select("src", "rel_type", "dst")
+        return new_edges.join(existing, ["src", "rel_type", "dst"], "left_anti")
+
+    def reshape_all(
+        self,
+        df: DataFrame,
+        table_class: str,
+        domain: str | None = None,
+        terms: DataFrame | None = None,
+    ) -> RefactorResult:
+        """The reference's alternative pipeline (model_applier.py:108-113):
+        extract -> IS_A -> link_via_is_a (graph-driven) -> terms."""
+        domain = domain or table_class
+        specs = plan_extraction(self.model, table_class)
+        if not specs:
+            raise ValueError(f"no extraction specs for table class {table_class!r}")
+        res = self.extract_class_entities(df, specs, domain)
+        edges = res.edges.unionByName(self.is_a_edges(res.row_map))
+        edges = edges.unionByName(self.link_via_is_a(res.nodes, edges))
+        if terms is not None:
+            edges = edges.unionByName(self.link_to_terms(res.nodes, terms))
+        return RefactorResult(nodes=res.nodes, edges=edges, row_map=res.row_map, specs=specs)
+
     # -- R6 -------------------------------------------------------------------
 
     def link_to_terms(self, nodes: DataFrame, terms: DataFrame) -> DataFrame:

@@ -38,6 +38,9 @@ class ClassSpec:
     data_type: str | None = None
     derived: bool = False
     create: bool = False  # create-mode: duplicates must NOT merge
+    # pipe-separated class labels whose values key this class's URI
+    # (derivation_method.py:1031-1095 merge_build_uri_from_schema)
+    classes_for_uri: str | None = None
 
 
 @dataclass(frozen=True)

@@ -43,7 +43,7 @@ from tab2neo_spark.operators.predicates import apply_where_map
 from tab2neo_spark.pipeline.registry import get_transform
 from tab2neo_spark.schema import node_uri_col
 
-WRITE_ACTIONS = {"link", "assign_class", "link_stat"}
+WRITE_ACTIONS = {"link", "assign_class", "assign_label", "link_stat"}
 
 
 def _coerce_filter_value(v: Any) -> Any:
@@ -74,10 +74,14 @@ class MethodResult:
     new_edges: list[DataFrame] = field(default_factory=list)
     audit: list[dict] = field(default_factory=list)
     branches: dict[str, DataFrame] = field(default_factory=dict)
+    # extra-label assignments (Neo4j multi-label analog): (node_id,
+    # extra_label) batches, same side-table shape as refactor.label_entities
+    new_labels: list[DataFrame] = field(default_factory=list)
     # Changes-analog provenance (action.py:1699-1749): which action produced
-    # each new_nodes/new_edges batch — positionally aligned with those lists
+    # each new_nodes/new_edges/new_labels batch — positionally aligned
     node_actions: list[int] = field(default_factory=list)
     edge_actions: list[int] = field(default_factory=list)
+    label_actions: list[int] = field(default_factory=list)
 
 
 class DerivationMethod:
@@ -85,8 +89,8 @@ class DerivationMethod:
 
     VALID_TYPES = {
         "get_data", "filter", "run_script", "call_api", "run_sql", "build_uri",
-        "assign_class", "link", "branch_save", "branch_load", "branch_combine",
-        "apply_stat", "link_stat",
+        "assign_class", "assign_label", "link", "branch_save", "branch_load",
+        "branch_combine", "apply_stat", "link_stat",
     }
     # supermethods macro-expand into primitive actions at compile time,
     # exactly like the reference (derivation_method/super_method.py)
@@ -156,6 +160,48 @@ class DerivationMethod:
                 get_transform(a["script"])  # raises on unknown script
             if t == "get_data" and self.provider is None and self.source_df is None:
                 raise ValueError("get_data action requires a provider or source_df")
+
+    # -- spec factory (D1: dict / .json file / by-name) ------------------------
+
+    @classmethod
+    def from_json_file(
+        cls,
+        spark: SparkSession,
+        path: str,
+        provider=None,
+        source_df: DataFrame | None = None,
+    ) -> "DerivationMethod":
+        """Load a method from a JSON file — either a plain spec
+        ``{name, actions}`` or the arrows-style method graph (the
+        reference's online_data_loader file path, derivation_method.py
+        spec factory)."""
+        with open(path) as f:
+            dct = json.load(f)
+        if "actions" in dct:
+            return cls(spark, dct, provider=provider, source_df=source_df)
+        if "nodes" in dct and "relationships" in dct:
+            return cls.from_arrows_json(
+                spark, dct, provider=provider, source_df=source_df
+            )
+        raise ValueError(f"{path}: neither a method spec nor a method graph JSON")
+
+    @classmethod
+    def from_name(
+        cls,
+        spark: SparkSession,
+        name: str,
+        folder: str,
+        provider=None,
+        source_df: DataFrame | None = None,
+    ) -> "DerivationMethod":
+        """By-name loading: ``<folder>/<name>.json`` — the engine's analog
+        of fetching a persisted Method node by id."""
+        import os
+
+        return cls.from_json_file(
+            spark, os.path.join(folder, f"{name}.json"),
+            provider=provider, source_df=source_df,
+        )
 
     # -- method-as-graph JSON round-trip (D14, retrieve_json analog) ----------
 
@@ -269,6 +315,77 @@ class DerivationMethod:
         res = self.apply(limit=limit)
         return res.df.columns if res.df is not None else []
 
+    def predicted_output_classes(self) -> list[str]:
+        """D13 predict_output_classes (derivation_method.py:851-889): the
+        classes this method will create — assign_class / link_stat targets
+        (supermethods are already expanded into these at compile time)."""
+        out: list[str] = []
+        for a in self.actions:
+            if a["type"] in ("assign_class", "link_stat") and a.get("class"):
+                if a["class"] not in out:
+                    out.append(a["class"])
+        return out
+
+    def predict_links(self, model) -> list[dict]:
+        """D13 predict_links (derivation_method.py:891-947): schema
+        relationships between the method's predicted output classes become
+        proposed link actions — skipping pairs an existing link action
+        already covers."""
+        predicted = set(self.predicted_output_classes())
+        existing = {
+            (a.get("from_id"), a.get("to_id"))
+            for a in self.actions
+            if a["type"] == "link"
+        }
+        links = []
+        for r in model.relationships:
+            if r.from_label in predicted and r.to_label in predicted:
+                from_id, to_id = f"_id_{r.from_label}", f"_id_{r.to_label}"
+                if (from_id, to_id) in existing:
+                    continue
+                links.append(
+                    {
+                        "type": "link",
+                        "relationship_type": r.relationship_type,
+                        "from_id": from_id,
+                        "to_id": to_id,
+                    }
+                )
+        return links
+
+    def merge_link_actions_from_schema(self, model) -> int:
+        """Append the predicted link actions (the reference's
+        _generate_link_actions + merge_action_json flow,
+        derivation_method.py:949-1028). Returns how many were added."""
+        new = self.predict_links(model)
+        self.actions.extend(new)
+        return len(new)
+
+    def merge_build_uri_from_schema(self, model) -> int:
+        """D13 merge_build_uri_from_schema (derivation_method.py:1060-1108):
+        for each predicted output class whose ClassSpec carries
+        ``classes_for_uri`` ('A|B', pipe-separated), append a build_uri
+        action keyed by those classes' value columns. Returns the number of
+        actions added."""
+        added = 0
+        for cls in self.predicted_output_classes():
+            spec = model.classes.get(cls)
+            if spec is None or not spec.classes_for_uri:
+                continue
+            by = [tok.strip() for tok in spec.classes_for_uri.split("|") if tok.strip()]
+            short = spec.short_label or cls
+            self.actions.append(
+                {
+                    "type": "build_uri",
+                    "for": cls,
+                    "prefix": cls,
+                    "by": by,
+                    "column": f"_uri_{short}",
+                }
+            )
+            added += 1
+        return added
+
     # -- executor (D3) ---------------------------------------------------------
 
     def apply(self, limit: int | None = None) -> MethodResult:
@@ -283,10 +400,11 @@ class DerivationMethod:
                 # mode, derivation_method.py:249-307)
                 res.audit.append({"action": t, "idx": i, "skipped": "limited"})
                 continue
-            n0, e0 = len(res.new_nodes), len(res.new_edges)
+            n0, e0, l0 = len(res.new_nodes), len(res.new_edges), len(res.new_labels)
             res.df = self._dispatch(t, a, res)
             res.node_actions += [i] * (len(res.new_nodes) - n0)
             res.edge_actions += [i] * (len(res.new_edges) - e0)
+            res.label_actions += [i] * (len(res.new_labels) - l0)
             if res.df is not None and limit is not None and t == "get_data":
                 res.df = res.df.limit(limit)
             res.audit.append(
@@ -367,6 +485,24 @@ class DerivationMethod:
             )
             res.new_nodes.append(nodes)
             return df.withColumn(f"_id_{label}", F.xxhash64(F.lit(label), keyed))
+        if t == "assign_label":
+            # D5 id-list form (action.py:1300-1337): SET an EXTRA label on
+            # the nodes whose ids the df already carries; Neo4j's
+            # multi-label becomes a (node_id, extra_label) side-table batch
+            # (same shape as refactor.label_entities), and the new label's
+            # id column mirrors the on-class's (action.py:1322-1325)
+            on, label = a["on"], a["class"]
+            id_col = f"_id_{on}"
+            if id_col not in df.columns:
+                raise ValueError(f"assign_label needs {id_col} in the df")
+            batch = (
+                df.select(F.col(id_col).alias("node_id"))
+                .filter(F.col("node_id").isNotNull())
+                .distinct()
+                .withColumn("extra_label", F.lit(label))
+            )
+            res.new_labels.append(batch)
+            return df.withColumn(f"_id_{label}", F.col(id_col))
         if t == "link":
             return self._link(a, res)
         if t == "link_stat":

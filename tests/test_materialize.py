@@ -141,3 +141,29 @@ def test_per_action_rollback(spark, tmp_path):
     by_stage = {c["stage"]: c["status"] for c in store.checkpoints("r1")}
     assert by_stage["two_writes__a2_nodes1"] == "rolled_back"
     assert by_stage["two_writes__a1_nodes0"] == "done"
+
+
+def test_assign_label_rollback(spark, tmp_path):
+    """Rolling back an assign_label action removes ONLY its extra labels
+    (the reference's REMOVE instance:label inverse, action.py:1339-1376)."""
+    from tab2neo_spark.kg.materialize import GraphStore, write_method_result
+    from tab2neo_spark.pipeline.runner import DerivationMethod
+
+    df = spark.createDataFrame([("S1",), ("S2",)], "Subject string")
+    spec = {
+        "name": "al",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Subject", "value_column": "Subject"},
+            {"type": "assign_label", "class": "Enrolled", "on": "Subject"},
+            {"type": "assign_label", "class": "Safety", "on": "Subject"},
+        ],
+    }
+    res = DerivationMethod(spark, spec, source_df=df).apply()
+    store = GraphStore(spark, str(tmp_path / "g"))
+    write_method_result(store, res, "r1", "al")
+    assert store.read("labels").count() == 4
+    store.rollback_action("r1", 2, ["labels"])
+    kept = store.read("labels")
+    assert kept.count() == 2
+    assert {r["extra_label"] for r in kept.collect()} == {"Safety"}

@@ -452,3 +452,111 @@ def test_method_json_round_trip_supermethod(spark, test_data):
         "get_data", "assign_class", "assign_class", "link"
     ]
     assert m2.actions == m.actions
+
+
+def test_predict_links_from_schema(spark, test_data):
+    """D13 predict_links (derivation_method.py:891-947): schema rels between
+    predicted output classes become link actions; applying them produces
+    the edges."""
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    m = MetadataModel()
+    m.create_class("Subject")
+    m.create_class("Age")
+    m.create_relationship("Subject", "Age", "HAS_AGE")
+    spec = {
+        "name": "pl",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Subject", "value_column": "Subject"},
+            {"type": "assign_class", "class": "Age", "value_column": "Age"},
+        ],
+    }
+    dm = DerivationMethod(spark, spec, source_df=test_data)
+    assert dm.predicted_output_classes() == ["Subject", "Age"]
+    predicted = dm.predict_links(m)
+    assert predicted == [{"type": "link", "relationship_type": "HAS_AGE",
+                          "from_id": "_id_Subject", "to_id": "_id_Age"}]
+    assert dm.merge_link_actions_from_schema(m) == 1
+    # an existing link action suppresses re-prediction
+    assert dm.predict_links(m) == []
+    res = dm.apply()
+    assert res.new_edges[0].count() == 3  # one HAS_AGE edge per subject
+
+
+def test_merge_build_uri_from_schema(spark, test_data):
+    """D13 merge_build_uri_from_schema (derivation_method.py:1060-1108):
+    classes_for_uri='A|B' appends a build_uri action keyed by those
+    columns."""
+    from tab2neo_spark.model.metadata import ClassSpec, MetadataModel
+
+    m = MetadataModel()
+    m.classes["NewValue"] = ClassSpec(
+        "NewValue", short_label="NEWV", classes_for_uri="Study|Subject"
+    )
+    spec = {
+        "name": "bu",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "NewValue", "value_column": "Age"},
+        ],
+    }
+    dm = DerivationMethod(spark, spec, source_df=test_data)
+    assert dm.merge_build_uri_from_schema(m) == 1
+    assert dm.actions[-1] == {
+        "type": "build_uri", "for": "NewValue", "prefix": "NewValue",
+        "by": ["Study", "Subject"], "column": "_uri_NEWV",
+    }
+    res = dm.apply()
+    uris = {r["_uri_NEWV"] for r in res.df.collect()}
+    assert uris == {"NewValue_by/STUDY1/S001", "NewValue_by/STUDY1/S002",
+                    "NewValue_by/STUDY1/S003"}
+
+
+def test_assign_label_extra_label(spark, test_data):
+    """D5 id-list form (action.py:1300-1337): extra label on existing
+    nodes + id-column mirror."""
+    spec = {
+        "name": "al",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "assign_class", "class": "Subject", "value_column": "Subject"},
+            {"type": "assign_label", "class": "Enrolled", "on": "Subject"},
+        ],
+    }
+    res = DerivationMethod(spark, spec, source_df=test_data).apply()
+    labels = res.new_labels[0].collect()
+    assert len(labels) == 3
+    assert {r["extra_label"] for r in labels} == {"Enrolled"}
+    rows = res.df.select("_id_Subject", "_id_Enrolled").collect()
+    assert all(r["_id_Subject"] == r["_id_Enrolled"] for r in rows)
+    assert res.label_actions == [2]
+
+
+def test_method_loading_by_file_and_name(spark, test_data, tmp_path):
+    """D1 spec factory: plain-spec file, method-graph file, and by-name."""
+    import json as _json
+
+    spec = {
+        "name": "m1",
+        "actions": [
+            {"type": "get_data"},
+            {"type": "run_script", "script": "multiply_cols",
+             "params": {"columns": ["Age", "TestValue"], "new_column": "NEWV"}},
+        ],
+    }
+    p = tmp_path / "m1.json"
+    p.write_text(_json.dumps(spec))
+    m = DerivationMethod.from_name(spark, "m1", str(tmp_path), source_df=test_data)
+    assert "NEWV" in m.apply().df.columns
+
+    # graph-JSON file round-trips through the same factory
+    g = tmp_path / "m2.json"
+    g.write_text(_json.dumps(m.to_arrows_json()))
+    m2 = DerivationMethod.from_json_file(spark, str(g), source_df=test_data)
+    assert m2.actions == m.actions
+
+    bad = tmp_path / "m3.json"
+    bad.write_text("{}")
+    with pytest.raises(ValueError, match="neither"):
+        DerivationMethod.from_json_file(spark, str(bad), source_df=test_data)

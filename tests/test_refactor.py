@@ -248,3 +248,25 @@ def test_wildcard_table_mapping(spark, car_df):
     m.create_custom_mappings_from_dict({"*": {"car": ["car_color"]}})
     specs = plan_extraction(m, "AnyTable")
     assert [s.class_label for s in specs] == ["car"]
+
+
+def test_link_via_is_a_matches_link_classes(spark, record_df, model):
+    """R5 (model_applier.py:433-476): graph-driven linking over FROM_DATA +
+    node classes reproduces link_classes' edges, and reshape_all ends with
+    the same typed edges as refactor_all."""
+    eng = RefactorEngine(spark, model)
+    ref = eng.refactor_all(record_df, "Record")
+    resh = eng.reshape_all(record_df, "Record")
+
+    def typed(res):
+        return {
+            tuple(r)
+            for r in res.edges.filter(
+                ~F.col("rel_type").isin("FROM_DATA", "IS_A", "Term")
+            ).collect()
+        }
+
+    assert typed(resh) == typed(ref) and len(typed(resh)) > 0
+    # anti-join guard: re-linking an already-linked graph adds nothing
+    again = eng.link_via_is_a(resh.nodes, resh.edges)
+    assert again.count() == 0
