@@ -707,6 +707,16 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                                bands=4, threshold=0.7)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-dedup capstone: minhash pairs -> connected components ->
+    (doc_id, canonical_id) for every document (keep-one-per-cluster)."""
+    from tab2neo_spark.operators.dedup import dedup_keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_keep_canonical(docs, "text", "doc_id", k=1, num_hashes=8,
+                                bands=4, threshold=0.7)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tab2neo_spark.operators.dedup import simhash_near_pairs
 
@@ -844,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "disjoint_collect": q_disjoint_collect,
         "dedup_minhash_verified": q_dedup_minhash_verified,
+        "dedup_canonical": q_dedup_canonical,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1034,6 +1045,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(common * 1.0 / (na.n + nb.n - common), 6) AS jaccard
             FROM common JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
             WHERE common * 1.0 / (na.n + nb.n - common) >= 0.7
+        """,
+        "dedup_canonical": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, w AS shingle
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            seeds AS (SELECT unnest(range(8)) AS seed),
+            sig AS (
+                SELECT doc_id, seed, min(md5(shingle || '#' || seed)) AS minhash
+                FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+            ),
+            banded AS (
+                SELECT doc_id, (seed // 2)::INT AS band,
+                       md5(string_agg(minhash, '|' ORDER BY seed, minhash)) AS band_val
+                FROM sig GROUP BY doc_id, (seed // 2)::INT
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT c.a, c.b, count(*) AS common
+                FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+                GROUP BY c.a, c.b
+            ),
+            pairs AS (
+                SELECT a, b FROM common
+                JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
+                WHERE common * 1.0 / (na.n + nb.n - common) >= 0.7
+            ),
+            sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+            reach(u, v) AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            ),
+            comp AS (
+                SELECT u AS doc_id, least(u, min(v)) AS canonical FROM reach GROUP BY u
+            )
+            SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         "simhash_pairs": """
             WITH tok AS (

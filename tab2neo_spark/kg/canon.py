@@ -131,6 +131,41 @@ def _union_find_driver(pairs: list[tuple]) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+def components_adaptive(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """``(id, component)`` with the same size-adaptive strategy as
+    :func:`canonical_map`, but type-preserving (works for long doc ids as
+    well as string surfaces): below ``driver_threshold`` edges the
+    union-find runs on the driver in ONE job — a multi-round iterative
+    shuffle's fixed overhead dominates at metadata scale — while larger
+    graphs go through the distributed hash-min + pointer-jumping loop."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = edges.sparkSession
+    # the edge relation may be an expensive pipeline (e.g. minhash verify) —
+    # persist it so the size probe and the actual read are ONE computation
+    edges = edges.select(src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = edges.limit(driver_threshold + 1).count()
+        if n <= driver_threshold:
+            pairs = [(r[src], r[dst]) for r in edges.collect()]
+            mapping = sorted(_union_find_driver(pairs).items())
+            schema = edges.select(
+                F.col(src).alias("id"), F.col(dst).alias("component")
+            ).schema
+            return spark.createDataFrame(mapping, schema)
+        # connected_components eagerly checkpoints its symmetrized copy
+        # up front, so the persisted input is read exactly once there too
+        # (unpersisting afterwards is safe: the loop reads the checkpoint)
+        return connected_components(edges, src=src, dst=dst)
+    finally:
+        edges.unpersist()
+
+
 def canonical_map(
     same_as: DataFrame, a: str = "a", b: str = "b", driver_threshold: int = 100_000
 ) -> DataFrame:

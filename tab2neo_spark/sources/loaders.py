@@ -193,6 +193,32 @@ def convert_datetime_columns(
     return out
 
 
+def azure_blob_path(container: str, account: str, path: str) -> str:
+    """S8: ABFS URL for an Azure Data Lake Gen2 / Blob path."""
+    return f"abfss://{container}@{account}.dfs.core.windows.net/{path.lstrip('/')}"
+
+
+def read_azure_file(
+    spark: SparkSession,
+    container: str,
+    account: str,
+    folder: str,
+    filename: str,
+    **kw,
+) -> DataFrame:
+    """S8 (azure_data_loader.py:51-76): the reference downloads each blob
+    to a DRIVER temp dir and re-reads it locally — a single-node
+    bottleneck. The Spark-first version hands the ``abfss://`` URL to the
+    same :func:`read_file` dispatch so every executor reads its own split
+    through the hadoop-azure ABFS connector (credentials via
+    ``spark.conf fs.azure.account.key.<account>...``; the connector jar
+    ships with real deployments, not this sandbox — calls here fail at
+    ``spark.read`` with a clear missing-filesystem error)."""
+    return read_file(
+        spark, azure_blob_path(container, account, folder), filename, **kw
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
     """S9/S10: relational pulls go straight through spark JDBC (the
     reference routes them through a Hive cursor or Neo4j apoc.load.jdbc —

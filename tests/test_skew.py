@@ -76,3 +76,24 @@ def test_ivf_topk_probes_subset(spark):
     assert len(labels) <= 3
     # sanity: decent overlap with brute force on this data
     assert len(got & exact) >= 3
+
+
+def test_dedup_keep_canonical_clusters(spark):
+    """Keep-one-per-cluster: transitive near-dups collapse to the min id,
+    unique docs map to themselves."""
+    from tab2neo_spark.operators.dedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),        # exact dup of 1
+            (3, "alpha beta gamma delta epsilon zeta"),   # near dup of 1/2
+            (4, "totally different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_keep_canonical(docs, "text", "doc_id", threshold=0.7)
+    m = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert m[1] == 1 and m[2] == 1 and m[4] == 4
+    assert m[3] in (1, 3)  # near-dup: in the cluster iff LSH banding caught it
+    assert len(m) == 4

@@ -175,3 +175,17 @@ def test_stateful_streaming_sessionization(spark, tmp_path):
     # user2's first session (gap 40min). Open tails emit on timeout only.
     assert (1, 0, 3) in got
     assert (2, 0, 1) in got
+
+
+def test_azure_blob_path_and_reader(spark):
+    """S8: abfss URL construction + distributed-read dispatch (the reference
+    downloads to the driver; here the URL goes straight to spark.read and
+    fails only on the missing connector, not on our code)."""
+    from tab2neo_spark.sources.loaders import azure_blob_path, read_azure_file
+
+    url = azure_blob_path("raw", "acct1", "/trial_01/sdtm")
+    assert url == "abfss://raw@acct1.dfs.core.windows.net/trial_01/sdtm"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)abfss|filesystem|scheme|azure"):
+        read_azure_file(spark, "raw", "acct1", "trial_01", "vs.parquet").count()
