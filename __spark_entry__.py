@@ -707,6 +707,17 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                                bands=4, threshold=0.7)
 
 
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus selection: lang filter + quality
+    threshold + exact-dedup keep-min + token accounting, one composed
+    pass (operators/corpus.py)."""
+    from tab2neo_spark.operators.corpus import select_training_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return select_training_corpus(docs, "text", "doc_id", lang="en",
+                                  min_quality=0.7)
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-dedup capstone: minhash pairs -> connected components ->
     (doc_id, canonical_id) for every document (keep-one-per-cluster)."""
@@ -805,6 +816,35 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates keyed state over the events
+    stream (watermark bounds the state at scale), drained with availableNow;
+    equals batch SELECT DISTINCT — summarized per event_type for a compact
+    oracle comparison."""
+    import uuid
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .select(
+            "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+        )
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["user_id", "event_type", "ts"])
+    )
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT event_type, count(*) AS n, sum(unix_micros(ts)) AS ts_sum, "
+        f"count(DISTINCT user_id) AS n_users FROM {qname} GROUP BY event_type"
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (window formulation): each 'error' event picks up the
     value of the user's most recent prior 'signup' event."""
@@ -855,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjoint_collect": q_disjoint_collect,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_canonical": q_dedup_canonical,
+        "corpus_select": q_corpus_select,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -864,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "approx_stats": q_approx_stats,
         "stream_sessionize": q_stream_sessionize,
+        "stream_dedup": q_stream_dedup,
         "refactor_links": q_refactor_links,
         "refactor_readback": q_refactor_readback,
         "kg_readback_optional": q_kg_readback_optional,
@@ -1357,6 +1399,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ) GROUP BY user_id
         """,
+        "stream_dedup": """
+            WITH d AS (SELECT DISTINCT user_id, event_type, ts FROM events)
+            SELECT event_type, count(*) AS n,
+                   sum(epoch_us(ts))::BIGINT AS ts_sum,
+                   count(DISTINCT user_id) AS n_users
+            FROM d GROUP BY event_type
+        """,
         "stream_sessionize": """
             WITH o AS (
                 SELECT user_id, ts,
@@ -1514,6 +1563,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, q_len, q_alpha, q_stop, q_wlen,
                    floor((q_len + q_alpha + q_stop + q_wlen) / 4.0 * 1000000.0 + 0.5) / 1000000.0 AS quality
             FROM comp
+        """,
+        "corpus_select": """
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id, ws,
+                    len(ws) AS n_tokens,
+                    md5(array_to_string(ws, ' ')) AS fp,
+                    len(list_intersect(list_distinct(ws), ['the','and','of','to','a','in','is'])) AS s_en,
+                    len(list_intersect(list_distinct(ws), ['der','die','das','und','nicht','ist'])) AS s_de,
+                    len(list_intersect(list_distinct(ws), ['le','la','les','et','est','une'])) AS s_fr,
+                    len(list_intersect(list_distinct(ws), ['el','la','los','que','es','una'])) AS s_es,
+                    CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0
+                         WHEN n_chars > 0 THEN 0.5 ELSE 0.0 END AS q_len,
+                    floor((CASE WHEN n_chars > 0 THEN alpha_chars * 1.0 / n_chars ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS q_alpha,
+                    floor(least(1.0, len(list_intersect(list_distinct(ws),
+                        ['the','and','of','to','a','in','is',
+                         'der','die','das','und','nicht','ist',
+                         'le','la','les','et','est','une',
+                         'el','la','los','que','es','una'])) / 3.0) * 1000000.0 + 0.5) / 1000000.0 AS q_stop,
+                    CASE WHEN len(ws) > 0
+                              AND alpha_chars * 1.0 / len(ws) >= 3
+                              AND alpha_chars * 1.0 / len(ws) <= 10
+                         THEN 1.0 ELSE 0.5 END AS q_wlen
+                FROM base
+            ),
+            final AS (
+                SELECT doc_id, n_tokens, fp,
+                    CASE
+                      WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                      WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                      WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                      WHEN s_es > 0 THEN 'es'
+                      ELSE 'und'
+                    END AS lang_pred,
+                    floor((q_len + q_alpha + q_stop + q_wlen) / 4.0 * 1000000.0 + 0.5) / 1000000.0 AS quality
+                FROM scored
+            )
+            SELECT doc_id, lang_pred, quality, n_tokens FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+                FROM final WHERE lang_pred = 'en' AND quality >= 0.7
+            ) WHERE doc_id = keep_id
         """,
         "token_count": """
             SELECT doc_id,
