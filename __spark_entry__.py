@@ -615,6 +615,25 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the mapInPandas plumbing: a deterministic
+    2x2 P6 (netpbm) payload per document (header + md5-derived pixels) is
+    decoded by the pure-numpy codec; the oracle states the expected
+    geometry/format per row."""
+    from tab2neo_spark.operators.multimodal import media_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    header = b"P6\n2 2\n255\n"
+    blob = F.concat(
+        F.lit(header),
+        F.unhex(F.substring(F.md5(F.encode(F.col("text"), "utf-8")), 1, 24)),
+    )
+    out = media_metadata(
+        docs.select("doc_id", blob.alias("payload")), "doc_id", "payload"
+    )
+    return out.select("id", "n_bytes", "format", "width", "height")
+
+
 # ---------------------------------------------------------------------------
 # queries — scalar functions / misc (S7, D8, json)
 # ---------------------------------------------------------------------------
@@ -896,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_canonical": q_dedup_canonical,
         "corpus_select": q_corpus_select,
+        "multimodal_decode": q_multimodal_decode,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1563,6 +1583,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, q_len, q_alpha, q_stop, q_wlen,
                    floor((q_len + q_alpha + q_stop + q_wlen) / 4.0 * 1000000.0 + 0.5) / 1000000.0 AS quality
             FROM comp
+        """,
+        "multimodal_decode": """
+            SELECT doc_id::VARCHAR AS id, 23 AS n_bytes, 'ppm' AS format,
+                   2 AS width, 2 AS height
+            FROM documents
         """,
         "corpus_select": """
             WITH base AS (

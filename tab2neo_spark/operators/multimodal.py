@@ -2,11 +2,16 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata — the
 same discipline as the ``html`` column in the pages table.  The Spark-side
-plumbing (schemas, batch iteration, partition sizing) is real and tested;
-the codec work itself is STUBBED behind ``NotImplementedError`` or a
-deterministic fake because the image/audio libraries are not in this
-container — swap ``_decode_image_stub`` for PIL/libvips in deployment and
-nothing else changes.
+plumbing (schemas, batch iteration, partition sizing) is real and tested.
+Codec coverage is two-tier:
+
+- **netpbm (P5/P6) is decoded for real** — a pure-numpy codec (the format
+  is a whitespace header + raw bytes), so decode, resize, and video
+  frame-sampling run end-to-end with no external libraries;
+- png/jpeg/wav/mp4 are sniffed by magic bytes, but their pixel decode is
+  STUBBED behind a deterministic fake / ``NotImplementedError`` because
+  the codec libraries are not in this container — swap ``_decode_dims``
+  for PIL/libvips in deployment and nothing else changes.
 
 Every operator is a ``mapInPandas`` batch iterator: media decode is
 CPU-heavy per-row Python work, exactly the case where Arrow-batched Python
@@ -21,6 +26,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -39,21 +45,74 @@ def _sniff_format(b: bytes) -> str:
         return "wav"
     if b[4:8] == b"ftyp":
         return "mp4"
+    if b[:2] in (b"P5", b"P6"):
+        return "pgm" if b[:2] == b"P5" else "ppm"
     return "unknown"
 
 
-def _decode_image_stub(b: bytes) -> tuple[int, int]:
-    """STUB decode: deterministic fake dimensions from the content hash.
+# -- real codec: netpbm binary (P5 gray / P6 rgb) ---------------------------
 
-    Replace with `PIL.Image.open(io.BytesIO(b)).size` in deployment; the
-    call signature and the surrounding batch plumbing stay identical."""
+
+def netpbm_decode(b: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Decode one P5/P6 image starting at ``offset``; returns (pixels as
+    H x W [x 3] uint8 array, offset past the image). Pure numpy — header is
+    ASCII tokens (comments allowed), payload is raw bytes."""
+    magic = b[offset : offset + 2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm image at offset {offset}: {magic!r}")
+    pos = offset + 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if magic == b"P6" else 1
+    n = w * h * channels
+    pixels = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos)
+    shape = (h, w, 3) if channels == 3 else (h, w)
+    return pixels.reshape(shape), pos + n
+
+
+def netpbm_encode(arr: np.ndarray) -> bytes:
+    """Encode an H x W (gray) or H x W x 3 (rgb) uint8 array as P5/P6."""
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def _nearest_resize(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    src_h, src_w = arr.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return arr[ys][:, xs]
+
+
+def _decode_dims(b: bytes) -> tuple[int, int]:
+    """(width, height). Real for netpbm; deterministic FAKE from the
+    content hash for codec-library formats (replace with
+    ``PIL.Image.open(io.BytesIO(b)).size`` in deployment — the signature
+    and all surrounding batch plumbing stay identical)."""
+    if b[:2] in (b"P5", b"P6"):
+        arr, _ = netpbm_decode(b)
+        return (arr.shape[1], arr.shape[0])
     h = hashlib.sha256(b).digest()
     return (64 + h[0] % 192, 64 + h[1] % 192)
 
 
 def media_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
-    """Size, content hash, sniffed container format, (stub-)decoded
-    dimensions for every media row."""
+    """Size, content hash, sniffed container format, decoded dimensions
+    (real for netpbm, stub-fake for codec-library formats) per media row."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -70,7 +129,7 @@ def media_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                     ),
                 }
             )
-            dims = blobs.map(lambda b: _decode_image_stub(bytes(b)) if b else (0, 0))
+            dims = blobs.map(lambda b: _decode_dims(bytes(b)) if b else (0, 0))
             out["width"] = dims.map(lambda t: t[0]).astype("int32")
             out["height"] = dims.map(lambda t: t[1]).astype("int32")
             yield out
@@ -80,15 +139,27 @@ def media_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
 def resize_images(df: DataFrame, id_col: str, bin_col: str,
                   width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize plumbing; the resample itself is a stub."""
+    """Nearest-neighbor resize — REAL for netpbm payloads (pure numpy
+    index-gather, vectorized per image); codec-library formats raise until
+    PIL/libvips is swapped in at deployment."""
+
+    def resize_one(b: bytes) -> bytes:
+        if bytes(b[:2]) not in (b"P5", b"P6"):
+            raise NotImplementedError(
+                f"resize of {_sniff_format(bytes(b))!r} requires PIL/libvips "
+                "(not in this container); netpbm resizes natively"
+            )
+        arr, _ = netpbm_decode(bytes(b))
+        return netpbm_encode(_nearest_resize(arr, width, height))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            raise NotImplementedError(
-                "image resample requires PIL/libvips (not in this container); "
-                "plumbing verified via media_metadata"
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype(str),
+                    bin_col: pdf[bin_col].map(resize_one),
+                }
             )
-            yield pdf  # pragma: no cover
 
     return df.select(id_col, bin_col).mapInPandas(
         batches, f"{id_col} string, {bin_col} binary"
@@ -96,16 +167,43 @@ def resize_images(df: DataFrame, id_col: str, bin_col: str,
 
 
 def sample_video_frames(df: DataFrame, id_col: str, bin_col: str,
-                        every_n_seconds: float = 1.0) -> DataFrame:
-    """Frame-sampling plumbing (1 row in -> N frame rows out via
-    mapInPandas); decode stubbed pending ffmpeg bindings."""
+                        every_n_seconds: float = 1.0,
+                        fps: float = 1.0) -> DataFrame:
+    """Frame sampling: 1 media row in -> N frame rows out via mapInPandas.
+
+    REAL for the netpbm-stream container (concatenated P6/P5 frames —
+    what a decode-to-raw stage emits); every ``round(every_n_seconds *
+    fps)``-th frame is kept. Container formats needing ffmpeg raise until
+    the bindings are swapped in."""
+    stride = max(1, round(every_n_seconds * fps))
+
+    def frames_of(b: bytes) -> list[bytes]:
+        if bytes(b[:2]) not in (b"P5", b"P6"):
+            raise NotImplementedError(
+                f"frame decode of {_sniff_format(bytes(b))!r} requires ffmpeg "
+                "bindings (not in this container); netpbm streams split natively"
+            )
+        raw = bytes(b)
+        out, pos = [], 0
+        while pos < len(raw):
+            arr, nxt = netpbm_decode(raw, pos)
+            out.append(raw[pos:nxt])
+            pos = nxt
+        return out
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            raise NotImplementedError(
-                "video decode requires ffmpeg bindings (not in this container)"
+            ids, idxs, blobs = [], [], []
+            for _, row in pdf.iterrows():
+                for i, frame in enumerate(frames_of(row[bin_col])):
+                    if i % stride == 0:
+                        ids.append(str(row[id_col]))
+                        idxs.append(i)
+                        blobs.append(frame)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame": blobs}
             )
-            yield pdf  # pragma: no cover
 
     return df.select(id_col, bin_col).mapInPandas(
         batches, f"{id_col} string, frame_idx int, frame binary"

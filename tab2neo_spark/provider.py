@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tab2neo_spark.model.metadata import MetadataModel, RelSpec
-from tab2neo_spark.operators.predicates import compile_where_map
 
 OPTIONAL_MARK = "**"
 EXCLUDE_MARK = "!!"
@@ -100,10 +99,30 @@ class DataProvider:
         props: Sequence[str] = (),
     ) -> DataFrame:
         """Nodes of one class, filtered early (predicate pushdown: the
-        filter lands directly on the partitioned nodes scan). ``props``
-        pulls extra keys out of the open props map as ``<label>_<prop>``
-        columns (only_props beyond rdfs:label — P3)."""
-        df = self.nodes.filter(F.col("class") == label).select(
+        filter lands directly on the partitioned nodes scan, BEFORE the
+        projection). ``props`` pulls extra keys out of the open props map
+        as ``<label>_<prop>`` columns (only_props beyond rdfs:label — P3).
+
+        where-conditions address properties by name: 'rdfs:label' /
+        'rdfs_label' mean the canonical value column; any other name reads
+        the open props map (the reference's ``n.`PROP``` access works for
+        every property uniformly, query_builder.py:208-296)."""
+        df = self.nodes.filter(F.col("class") == label)
+        if where:
+            from tab2neo_spark.operators.predicates import compile_condition
+
+            cond = None
+            for prop, spec in where.items():
+                target = (
+                    F.col("rdfs_label")
+                    if prop in ("rdfs:label", "rdfs_label")
+                    else F.col("props").getItem(prop)
+                )
+                c = compile_condition(target, spec)
+                cond = c if cond is None else cond & c
+            if cond is not None:
+                df = df.filter(cond)
+        return df.select(
             F.col("node_id").alias(f"_id_{label}"),
             F.col("rdfs_label").alias(label),
             *[
@@ -111,17 +130,6 @@ class DataProvider:
                 for p in props
             ],
         )
-        if where:
-            # conditions address the class's value column by property name;
-            # 'rdfs:label'/'rdfs_label' mean the canonical value column
-            resolved = {}
-            for prop, cond in where.items():
-                col = label if prop in ("rdfs:label", "rdfs_label") else prop
-                resolved[col] = cond
-            cond = compile_where_map(resolved)
-            if cond is not None:
-                df = df.filter(cond)
-        return df
 
     def _edges_for(self, rel: RelSpec) -> DataFrame:
         return self.edges.filter(F.col("rel_type") == rel.relationship_type).select(

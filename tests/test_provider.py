@@ -323,3 +323,21 @@ def test_labels_to_pack_dict_list_value(provider, expected_mentions):
         ["Page", "Operator"], labels_to_pack={"Operator": ["Page"]}
     )
     assert got.columns == ["Page", "Operators"]
+
+
+def test_where_map_on_open_props(spark, kg):
+    """where_map conditions on OPEN properties read the props map (the
+    reference filters any ``n.`PROP``` uniformly): Page rows filter by
+    lang before the join projection."""
+    dp = DataProvider(spark, webtext_model(), kg.nodes, kg.edges)
+    got = dp.get_data(["Page"], where_map={"Page": {"lang": ["en", "de"]}},
+                      only_props={"Page": ["lang"]})
+    rows = got.collect()
+    assert len(rows) > 0
+    assert {r["Page_lang"] for r in rows} <= {"en", "de"}
+    # combined with a rel-joined class
+    got2 = dp.get_data(
+        ["Page", "Operator"], where_map={"Page": {"lang": "en"}},
+        only_props={"Page": ["lang"]},
+    )
+    assert all(r["Page_lang"] == "en" for r in got2.collect())

@@ -189,3 +189,71 @@ def test_azure_blob_path_and_reader(spark):
 
     with _pytest.raises(Exception, match="(?i)abfss|filesystem|scheme|azure"):
         read_azure_file(spark, "raw", "acct1", "trial_01", "vs.parquet").count()
+
+
+def _ppm(w, h, seed=0):
+    import numpy as np
+
+    rng = (np.arange(w * h * 3, dtype=np.uint32) * 31 + seed) % 251
+    from tab2neo_spark.operators.multimodal import netpbm_encode
+
+    return netpbm_encode(rng.astype(np.uint8).reshape(h, w, 3))
+
+
+def test_netpbm_real_decode_dimensions(spark):
+    """media_metadata decodes REAL dimensions for netpbm payloads (no
+    codec libs needed); sniffed formats stay on the stub path."""
+    from tab2neo_spark.operators.multimodal import media_metadata
+
+    df = spark.createDataFrame(
+        [("a", bytearray(_ppm(10, 7))), ("b", bytearray(_ppm(33, 5, seed=9)))],
+        "id string, payload binary",
+    )
+    out = {r["id"]: r for r in media_metadata(df, "id", "payload").collect()}
+    assert (out["a"]["width"], out["a"]["height"]) == (10, 7)
+    assert (out["b"]["width"], out["b"]["height"]) == (33, 5)
+    assert out["a"]["format"] == "ppm"
+
+
+def test_netpbm_resize_real(spark):
+    """resize_images does a real nearest-neighbor resample for netpbm."""
+    from tab2neo_spark.operators.multimodal import netpbm_decode, resize_images
+
+    df = spark.createDataFrame(
+        [("a", bytearray(_ppm(16, 16)))], "id string, payload binary"
+    )
+    out = resize_images(df, "id", "payload", width=4, height=8).collect()
+    arr, _ = netpbm_decode(bytes(out[0]["payload"]))
+    assert arr.shape == (8, 4, 3)
+    # corner pixels preserved by nearest-neighbor with integer ratios
+    src, _ = netpbm_decode(_ppm(16, 16))
+    assert (arr[0, 0] == src[0, 0]).all()
+
+
+def test_netpbm_video_frame_sampling(spark):
+    """sample_video_frames splits a concatenated-netpbm stream and keeps
+    every Nth frame (1 row in -> N rows out through mapInPandas)."""
+    from tab2neo_spark.operators.multimodal import netpbm_decode, sample_video_frames
+
+    stream = b"".join(_ppm(6, 4, seed=i) for i in range(10))
+    df = spark.createDataFrame(
+        [("vid1", bytearray(stream))], "id string, payload binary"
+    )
+    out = sample_video_frames(df, "id", "payload",
+                              every_n_seconds=3.0, fps=1.0).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in out] == [0, 3, 6, 9]
+    for r in out:
+        arr, _ = netpbm_decode(bytes(r["frame"]))
+        assert arr.shape == (4, 6, 3)
+
+
+def test_non_netpbm_resize_still_raises(spark):
+    import pytest as _pytest
+
+    from tab2neo_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [("x", bytearray(b"\x89PNG\r\n\x1a\nxxxx"))], "id string, payload binary"
+    )
+    with _pytest.raises(Exception, match="PIL|libvips"):
+        resize_images(df, "id", "payload").collect()
