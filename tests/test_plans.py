@@ -113,3 +113,16 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = _plan(cosine_topk(emb, "embedding", "vec_id", [1.0] + [0.0] * 63, k=5))
     assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global sort
+
+
+def test_corpus_select_single_exchange_no_python(spark, sf_dir):
+    """The corpus-selection pass must fuse all scoring into the scan: ONE
+    Exchange (on the 32-byte fingerprint, never on document bodies) and
+    zero Python evals of any kind."""
+    from tab2neo_spark.operators.corpus import select_training_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = select_training_corpus(docs, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan, plan
