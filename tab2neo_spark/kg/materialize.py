@@ -190,6 +190,44 @@ class GraphStore:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    # -- bucketed layout (co-located joins at rest) ----------------------------
+
+    def _catalog_name(self, table: str) -> str:
+        import hashlib as _hl
+
+        tag = _hl.md5(self.root.encode()).hexdigest()[:8]
+        return f"gs_{tag}_{table}"
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 8,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Bucketed-at-rest layout (docs/PLANS.md §4b): tables that join
+        repeatedly on ``bucket_cols`` (edges<->edges on node ids) are
+        written ``bucketBy(n, cols).sortBy(cols)`` so the join needs ZERO
+        Exchange — co-location is baked into the files. Bucketing metadata
+        lives in the session catalog (plain parquet paths cannot carry
+        it), with the data files under this store's root. Returns the
+        catalog table name to join against (``spark.table(name)``)."""
+        name = self._catalog_name(table)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        writer = (
+            df.write.mode("overwrite")
+            .option("path", self.path(table + "__bucketed"))
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*(sort_cols or bucket_cols))
+            .format("parquet")
+        )
+        writer.saveAsTable(name)
+        return name
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        return self.spark.table(self._catalog_name(table))
+
     # -- table metadata (partition layout survives rollback rewrites) ---------
 
     def _meta_file(self, table: str) -> str:

@@ -199,6 +199,30 @@ class MetadataModel:
     def add_term(self, term: TermSpec) -> None:
         self.terms.append(term)
 
+    def propagate_terms_to_parent_class(self) -> int:
+        """Copy every child class's terms to its SUBCLASS_OF ancestors
+        (model_manager.py:1041-1051's HAS_CONTROLLED_TERM MERGE). Returns
+        the number of terms added; idempotent."""
+        anc: dict[str, set[str]] = {}
+        for child, a, d in self.subclass_closure():
+            if d > 0:
+                anc.setdefault(child, set()).add(a)
+        existing = {
+            (t.class_label, t.codelist_code, t.term_code) for t in self.terms
+        }
+        added = 0
+        for t in list(self.terms):
+            for parent in anc.get(t.class_label, ()):
+                key = (parent, t.codelist_code, t.term_code)
+                if key not in existing:
+                    existing.add(key)
+                    self.terms.append(
+                        TermSpec(parent, t.codelist_code, t.term_code,
+                                 t.rdfs_label, t.order)
+                    )
+                    added += 1
+        return added
+
     # -- closure & inference -------------------------------------------------
 
     def subclass_closure(self) -> set[tuple[str, str, int]]:

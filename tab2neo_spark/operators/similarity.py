@@ -149,6 +149,63 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    path: str,
+) -> None:
+    """Materialize the IVF index AS the table layout: vectors written
+    cell-partitioned (so a probe is a partition-pruned read) plus a tiny
+    centroid sidecar. This is the 100 TB shape of
+    :func:`cosine_topk_ivf` — the 'index' is nothing but directory
+    structure + a |cells|-row table."""
+    df.select(id_col, vec_col, cell_col).write.mode("overwrite").partitionBy(
+        cell_col
+    ).parquet(f"{path}/vectors")
+    ivf_centroids(df, vec_col, cell_col).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    dp: int = 6,
+) -> DataFrame:
+    """Query a materialized IVF index: rank the sidecar centroids on the
+    driver (|cells| rows), then exact-search ONLY the top ``nprobe``
+    cells — the ``isin`` predicate on the partition column prunes to
+    nprobe directories at the source (verify with
+    ``PartitionFilters`` in the scan)."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    qv = [float(x) for x in query]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+
+    def cent_sim(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(c, qv)) / (cn * qn)
+
+    ranked = sorted(
+        ((cent_sim(r["centroid"]), r[cell_col]) for r in cents),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_cells = [cell for _, cell in ranked[:nprobe]]
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col(cell_col).isin(probe_cells)
+    )
+    return cosine_topk(vectors, vec_col, id_col, query, k, dp)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -167,3 +167,35 @@ def test_assign_label_rollback(spark, tmp_path):
     kept = store.read("labels")
     assert kept.count() == 2
     assert {r["extra_label"] for r in kept.collect()} == {"Safety"}
+
+
+def test_bucketed_layout_zero_exchange_join(spark, tmp_path):
+    """PLANS.md §4b made executable: two tables bucketed on the same key
+    join with ZERO Exchange (broadcast and AQE disabled to isolate the
+    bucketing effect)."""
+    from tab2neo_spark.kg.materialize import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    edges_a = spark.range(10000).select(
+        F.col("id").alias("src"), (F.col("id") % 97).alias("dst")
+    )
+    edges_b = spark.range(10000).select(
+        F.col("id").alias("src"), (F.col("id") % 89).alias("w")
+    )
+    ta = store.write_bucketed(edges_a, "ea", ["src"], n_buckets=8)
+    tb = store.write_bucketed(edges_b, "eb", ["src"], n_buckets=8)
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        joined = spark.table(ta).join(spark.table(tb), "src")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

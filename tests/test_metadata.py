@@ -108,3 +108,15 @@ def test_translate_rel_short_label_override(model):
                "short_label": "PERSON"}],
     )
     assert rels[0]["to"] == "PERSON"
+
+
+def test_propagate_terms_to_parent_class(model):
+    from tab2neo_spark.model.metadata import TermSpec
+
+    model.create_subclass("Person", "Subject")
+    model.add_term(TermSpec("Subject", "CL.SUBJ", "S1", "S1"))
+    added = model.propagate_terms_to_parent_class()
+    assert added == 1
+    assert any(t.class_label == "Person" and t.term_code == "S1" for t in model.terms)
+    # idempotent
+    assert model.propagate_terms_to_parent_class() == 0

@@ -97,3 +97,27 @@ def test_dedup_keep_canonical_clusters(spark):
     assert m[1] == 1 and m[2] == 1 and m[4] == 4
     assert m[3] in (1, 3)  # near-dup: in the cluster iff LSH banding caught it
     assert len(m) == 4
+
+
+def test_ivf_index_materialized_equals_inline(spark, tmp_path, sf_dir):
+    """The materialized IVF layout returns the same top-k as the inline
+    operator, and the probe scan is PARTITION-PRUNED to nprobe cells."""
+    from tab2neo_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [1.0] + [0.0] * 63
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, "embedding", "vec_id", "label", path)
+
+    inline = cosine_topk_ivf(emb, "embedding", "vec_id", "label", query,
+                             k=20, nprobe=2, dp=4)
+    indexed = cosine_topk_ivf_indexed(spark, path, "embedding", "vec_id",
+                                      "label", query, k=20, nprobe=2, dp=4)
+    assert [tuple(r) for r in inline.collect()] == [tuple(r) for r in indexed.collect()]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters")[1][:200], plan
