@@ -97,6 +97,7 @@ class DataProvider:
         label: str,
         where: Mapping[str, Any] | None,
         props: Sequence[str] = (),
+        with_uri: bool = False,
     ) -> DataFrame:
         """Nodes of one class, filtered early (predicate pushdown: the
         filter lands directly on the partitioned nodes scan, BEFORE the
@@ -125,6 +126,7 @@ class DataProvider:
         return df.select(
             F.col("node_id").alias(f"_id_{label}"),
             F.col("rdfs_label").alias(label),
+            *([F.col("uri").alias(f"_uri_{label}")] if with_uri else []),
             *[
                 F.col("props").getItem(p).alias(f"{label}_{p}")
                 for p in props
@@ -149,10 +151,16 @@ class DataProvider:
         allow_unrelated_subgraphs: bool = False,
         limit: int | None = None,
         use_shortlabel: bool = False,
+        use_rel_labels: bool = True,
         include_ids: bool = False,
         return_nodeid: bool = False,
         labels_to_pack: Sequence[str] | None = None,
         only_props: Mapping[str, Sequence[str]] | None = None,
+        return_termorder: bool = False,
+        return_disjoint: bool = False,
+        return_class_uris: bool = False,
+        check_schema: bool = False,
+        pivot: bool = False,
     ) -> DataFrame:
         """``labels_to_pack`` (A1, query_builder.py:676-798): listed classes
         are collected into a sorted distinct list per remaining-class row
@@ -161,7 +169,18 @@ class DataProvider:
 
         ``only_props`` (P3): ``{label: [prop, ...]}`` adds
         ``<label>_<prop>`` columns from the class's open props map;
-        rdfs:label stays the main column."""
+        rdfs:label stays the main column.
+
+        Reference knobs (data_provider.py:89-112):
+        ``use_rel_labels`` — with ``use_shortlabel``, a rel dict's own
+        ``short_label`` renames the TO class's output column (:99-100);
+        ``return_termorder`` — adds ``<name>_order`` from the Term catalog
+        (broadcast join, CT ordering); ``return_disjoint`` — per-class
+        distinct value sets in ONE row (:105); ``return_class_uris`` —
+        adds ``_uri_<name>`` columns (:106); ``check_schema`` — reject
+        labels/rel types absent from the metadata model before planning
+        (:107); ``pivot`` — expand map-packed columns into real columns
+        (:112, data_provider.py:252-262)."""
         where_map = where_map or {}
 
         # 1. strip markers (data_provider.py:124-139)
@@ -174,6 +193,7 @@ class DataProvider:
 
         # 2. rels: explicit, else inferred from the schema (J4)
         rel_specs: list[RelSpec] = []
+        rel_short: dict[str, str] = {}  # TO-class -> rel-level short_label
         for r in rels or []:
             if isinstance(r, RelSpec):
                 rel_specs.append(r)
@@ -186,6 +206,23 @@ class DataProvider:
                         bool(r.get("optional", False)),
                     )
                 )
+                if r.get("short_label"):
+                    rel_short[rel_specs[-1].to_label] = r["short_label"]
+
+        if check_schema:
+            missing = [lb for lb in clean if lb not in self.model.classes]
+            if missing:
+                raise QuerySpecError(f"classes not in the schema: {missing}")
+            known = {
+                (x.from_label, x.to_label, x.relationship_type)
+                for x in self.model.relationships
+            }
+            bad = [
+                r for r in rel_specs
+                if (r.from_label, r.to_label, r.relationship_type) not in known
+            ]
+            if bad:
+                raise QuerySpecError(f"relationships not in the schema: {bad}")
         if not rel_specs and infer_rels and len(clean) > 1:
             rel_specs = self.model.infer_rels(clean)
         # a rel touching an optional class is itself optional (J2/J3)
@@ -220,6 +257,7 @@ class DataProvider:
                 optional,
                 where_map,
                 only_props or {},
+                with_uris=return_class_uris,
             )
             result = g_df if result is None else result.crossJoin(g_df)
 
@@ -227,22 +265,59 @@ class DataProvider:
         for label, conds in (where_rel_map or {}).items():
             result = self._apply_rel_conditions(result, label, conds)
 
+        # 5b. term order from the CT catalog (return_termorder): broadcast
+        # join each termed class's value column to its Term order
+        if return_termorder:
+            by_class: dict[str, list] = {}
+            for t in self.model.terms:
+                by_class.setdefault(t.class_label, []).append(t)
+            for lb in clean:
+                if lb in excluded or lb not in by_class:
+                    continue
+                rows = {(t.rdfs_label, t.order) for t in by_class[lb]}
+                tdf = F.broadcast(
+                    self.spark.createDataFrame(
+                        sorted(rows), f"__tval string, {lb}_order int"
+                    )
+                )
+                result = result.join(
+                    tdf, result[lb] == tdf["__tval"], "left"
+                ).drop("__tval")
+
         # 6. projection: drop ids and excluded classes (P3/P4)
         out_cols = []
         for lb in clean:
             if lb in excluded:
                 continue
-            name = (
-                self.model.classes[lb].short_label
-                if use_shortlabel and lb in self.model.classes and self.model.classes[lb].short_label
-                else lb
-            )
+            name = lb
+            if use_shortlabel:
+                spec = self.model.classes.get(lb)
+                if spec and spec.short_label:
+                    name = spec.short_label
+                # rel-level short_label overrides the TO class's
+                # (model_manager.py:663-666)
+                if use_rel_labels and lb in rel_short:
+                    name = rel_short[lb]
             out_cols.append(F.col(lb).alias(name))
             for p in (only_props or {}).get(lb, ()):
                 out_cols.append(F.col(f"{lb}_{p}"))
+            if return_termorder and f"{lb}_order" in result.columns:
+                out_cols.append(F.col(f"{lb}_order").alias(f"{name}_order"))
+            if return_class_uris:
+                out_cols.append(F.col(f"_uri_{lb}").alias(f"_uri_{name}"))
             if include_ids or return_nodeid:
                 out_cols.append(F.col(f"_id_{lb}").alias(f"_id_{name}"))
         result = result.select(*out_cols)
+
+        # return_disjoint (A2): one row of per-class sorted distinct sets
+        if return_disjoint:
+            from tab2neo_spark.operators.packing import disjoint_collect
+
+            value_cols = [
+                c for c in result.columns
+                if not c.startswith("_id_") and not c.startswith("_uri_")
+            ]
+            return disjoint_collect(result, value_cols)
 
         # A1 packing (query_builder.py:676-798). Two forms:
         # - sequence / dict-with-list-value: collect the class's values into
@@ -289,6 +364,24 @@ class DataProvider:
                 aggs.append(F.map_from_entries(entries).alias(f"{lb}_map"))
             result = result.groupBy(*keys).agg(*aggs)
 
+            # pivot (data_provider.py:252-262): expand each map-packed
+            # column into real columns, one per key. Keys are term-code
+            # scale by construction -> the discovery collect is metadata-
+            # sized; pass explicit keys at 100 TB via pivot_wide instead.
+            if pivot:
+                for lb in map_pack:
+                    mcol = f"{lb}_map"
+                    ks = sorted(
+                        r["k"]
+                        for r in result.select(
+                            F.explode(F.map_keys(F.col(mcol))).alias("k")
+                        ).distinct().collect()
+                    )
+                    result = result.select(
+                        *[c for c in result.columns if c != mcol],
+                        *[F.col(mcol).getItem(k).alias(k) for k in ks],
+                    )
+
         if limit is not None:
             result = result.limit(limit)
         return result
@@ -300,6 +393,7 @@ class DataProvider:
         optional: set[str],
         where_map: Mapping[str, Mapping[str, Any]],
         only_props: Mapping[str, Sequence[str]] | None = None,
+        with_uris: bool = False,
     ) -> DataFrame:
         only_props = only_props or {}
         joined: DataFrame | None = None
@@ -309,7 +403,7 @@ class DataProvider:
             progressed = False
             for lb in list(pending):
                 if joined is None:
-                    joined = self._class_df(lb, where_map.get(lb), only_props.get(lb, ()))
+                    joined = self._class_df(lb, where_map.get(lb), only_props.get(lb, ()), with_uris)
                     in_plan.add(lb)
                     pending.remove(lb)
                     progressed = True
@@ -322,7 +416,7 @@ class DataProvider:
                     other = endpoints[0] if endpoints[1] == lb else endpoints[1]
                     if other in in_plan and lb not in in_plan:
                         e = self._edges_for(r)
-                        n = self._class_df(lb, where_map.get(lb), only_props.get(lb, ()))
+                        n = self._class_df(lb, where_map.get(lb), only_props.get(lb, ()), with_uris)
                         how = "left" if (r.optional or lb in optional) else "inner"
                         known = r.from_label if r.from_label in in_plan else r.to_label
                         # edge ⋈ new class first, then attach to the plan on

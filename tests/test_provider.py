@@ -341,3 +341,66 @@ def test_where_map_on_open_props(spark, kg):
         only_props={"Page": ["lang"]},
     )
     assert all(r["Page_lang"] == "en" for r in got2.collect())
+
+
+def test_get_data_generic_knobs(spark):
+    """Reference knob parity (data_provider.py:89-112): check_schema,
+    return_class_uris, return_termorder, return_disjoint, pivot,
+    use_rel_labels."""
+    from tab2neo_spark.model.metadata import MetadataModel, TermSpec
+
+    nodes = spark.createDataFrame(
+        [
+            (1, "Subject", "S1", "Subject_by/S1", None),
+            (2, "Subject", "S2", "Subject_by/S2", None),
+            (10, "Sex", "M", "Sex_by/M", None),
+            (11, "Sex", "F", "Sex_by/F", None),
+        ],
+        "node_id long, class string, rdfs_label string, uri string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, "Sex", 10), (2, "Sex", 11)], "src long, rel_type string, dst long"
+    )
+    m = MetadataModel()
+    m.create_related_classes_from_list([["Subject", "Sex", "Sex"]])
+    m.set_short_label("Subject", "SUBJ")
+    m.add_term(TermSpec("Sex", "CL.SEX", "F", "F", order=1))
+    m.add_term(TermSpec("Sex", "CL.SEX", "M", "M", order=2))
+    dp = DataProvider(spark, m, nodes, edges)
+
+    # check_schema rejects unknown classes / rel types
+    with pytest.raises(QuerySpecError, match="not in the schema"):
+        dp.get_data(["Subject", "Ghost"], rels=[], infer_rels=False,
+                    allow_unrelated_subgraphs=True, check_schema=True)
+    with pytest.raises(QuerySpecError, match="relationships"):
+        dp.get_data(["Subject", "Sex"],
+                    rels=[{"from": "Subject", "to": "Sex", "type": "WRONG"}],
+                    check_schema=True)
+
+    # uris + term order + rel-level short_label override
+    got = dp.get_data(
+        ["Subject", "Sex"],
+        rels=[{"from": "Subject", "to": "Sex", "type": "Sex", "short_label": "GENDER"}],
+        use_shortlabel=True,
+        return_class_uris=True,
+        return_termorder=True,
+    )
+    assert set(got.columns) == {"SUBJ", "GENDER", "_uri_SUBJ", "_uri_GENDER",
+                                "GENDER_order"}
+    rows = {r["SUBJ"]: r for r in got.collect()}
+    assert rows["S1"]["GENDER_order"] == 2  # M
+    assert rows["S2"]["_uri_GENDER"] == "Sex_by/F"
+
+    # return_disjoint: one row of per-class distinct sets
+    dis = dp.get_data(["Subject", "Sex"], return_disjoint=True).collect()
+    assert len(dis) == 1
+    assert list(dis[0]["Subject_values"]) == ["S1", "S2"]
+    assert list(dis[0]["Sex_values"]) == ["F", "M"]
+
+    # pivot: map-packed column expands into real columns
+    piv = dp.get_data(
+        ["Subject", "Sex"], labels_to_pack={"Sex": "Subject"}, pivot=True
+    )
+    assert set(piv.columns) == {"S1", "S2"}
+    row = piv.collect()[0]
+    assert row["S1"] == "M" and row["S2"] == "F"
