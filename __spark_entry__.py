@@ -615,6 +615,28 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5-bucket assignment, a pure
+    function of the doc id — stable across engines and cluster sizes."""
+    from tab2neo_spark.operators.corpus import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_by_hash(docs, "doc_id",
+                         weights={"train": 0.98, "val": 0.01, "test": 0.01})
+
+
+def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget fill: biggest documents first (id tiebreak)
+    until 20k tokens are admitted."""
+    from tab2neo_spark.operators.corpus import sample_to_token_budget
+    from tab2neo_spark.operators.textstats import token_count
+
+    docs = token_count(_t(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "n_tokens"
+    )
+    return sample_to_token_budget(docs, "doc_id", "n_tokens", budget=20000)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the mapInPandas plumbing: a deterministic
     2x2 P6 (netpbm) payload per document (header + md5-derived pixels) is
@@ -858,8 +880,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (stream.writeStream.outputMode("append").format("memory")
          .queryName(qname).trigger(availableNow=True).start())
     q.awaitTermination(300)
+    # modulo-reduced timestamp checksum: a raw sum of epoch-micros
+    # overflows BIGINT beyond ~5k rows per group (caught at sf0.1)
     return spark.sql(
-        f"SELECT event_type, count(*) AS n, sum(unix_micros(ts)) AS ts_sum, "
+        f"SELECT event_type, count(*) AS n, "
+        f"sum(unix_micros(ts) % 1000003) AS ts_sum, "
         f"count(DISTINCT user_id) AS n_users FROM {qname} GROUP BY event_type"
     )
 
@@ -916,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "corpus_select": q_corpus_select,
         "multimodal_decode": q_multimodal_decode,
+        "corpus_split": q_corpus_split,
+        "corpus_budget": q_corpus_budget,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1422,7 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             WITH d AS (SELECT DISTINCT user_id, event_type, ts FROM events)
             SELECT event_type, count(*) AS n,
-                   sum(epoch_us(ts))::BIGINT AS ts_sum,
+                   sum(epoch_us(ts) % 1000003)::BIGINT AS ts_sum,
                    count(DISTINCT user_id) AS n_users
             FROM d GROUP BY event_type
         """,
@@ -1583,6 +1610,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, q_len, q_alpha, q_stop, q_wlen,
                    floor((q_len + q_alpha + q_stop + q_wlen) / 4.0 * 1000000.0 + 0.5) / 1000000.0 AS quality
             FROM comp
+        """,
+        "corpus_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 9800 THEN 'train'
+                        WHEN b < 9900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substring(md5('split#' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
+                  FROM documents)
+        """,
+        "corpus_budget": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY n_tokens DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+                FROM t
+            )
+            SELECT doc_id, n_tokens FROM r WHERE prev < 20000
         """,
         "multimodal_decode": """
             SELECT doc_id::VARCHAR AS id, 23 AS n_bytes, 'ppm' AS format,

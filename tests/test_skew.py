@@ -121,3 +121,38 @@ def test_ivf_index_materialized_equals_inline(spark, tmp_path, sf_dir):
 
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_split_by_hash_deterministic_fractions(spark):
+    from tab2neo_spark.operators.corpus import split_by_hash
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    out = split_by_hash(df, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    # pure function of id: identical across invocations and partitionings
+    again = split_by_hash(df.repartition(17), "doc_id",
+                          weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+    # different salt -> different assignment
+    other = split_by_hash(df, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1},
+                          salt="other")
+    c = {r["doc_id"]: r["split"] for r in other.collect()}
+    assert a != c
+
+
+def test_sample_to_token_budget_greedy(spark):
+    from tab2neo_spark.operators.corpus import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, 40), (3, 30), (4, 20), (5, 10)], "doc_id long, n_tokens int"
+    )
+    out = sample_to_token_budget(df, "doc_id", "n_tokens", budget=100)
+    # 50 + 40 admitted (prev 0, 50); 30 admitted (prev 90 < 100); 20 not (prev 120)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+    tight = sample_to_token_budget(df, "doc_id", "n_tokens", budget=50)
+    assert {r["doc_id"] for r in tight.collect()} == {1}
