@@ -87,6 +87,19 @@ def q_kg_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance: fixed-iteration PageRank over the MENTIONS
+    edge list (kg/analytics.py) — iterative DataFrame loop, det_round'ed
+    for cross-engine equality."""
+    from tab2neo_spark.datagen import pages_from_documents
+    from tab2neo_spark.kg.analytics import pagerank
+    from tab2neo_spark.kg.construct import construct_kg
+
+    kg = construct_kg(spark, pages_from_documents(spark, sf_dir), unique_urls=True)
+    edges = kg.triples.filter(F.col("pred") == "MENTIONS").select("subj", "obj")
+    return pagerank(edges, "subj", "obj", iterations=3)
+
+
 def _kg_provider(spark: SparkSession, sf_dir: str):
     from tab2neo_spark.datagen import pages_from_documents
     from tab2neo_spark.kg.construct import construct_kg
@@ -930,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_canonical_map": q_kg_canonical_map,
         "kg_entity_degree": q_kg_entity_degree,
+        "kg_pagerank": q_kg_pagerank,
         "kg_readback_join": q_kg_readback_join,
         "refactor_nodes": q_refactor_nodes,
         "pipeline_derive": q_pipeline_derive,
@@ -997,6 +1011,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(mentions_cte: str, url_expr: str, iterations: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank in ANSI SQL — the exact same
+    recurrence as kg/analytics.pagerank (no dangling redistribution), one
+    CTE per round, det-rounded to 6 dp."""
+    sql = f"""
+        {mentions_cte},
+        e AS (
+            SELECT DISTINCT {url_expr} AS s, m.class || ':' || m.canon AS d
+            FROM m JOIN documents USING (doc_id)
+        ),
+        v AS (SELECT s AS id FROM e UNION SELECT d FROM e),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+        od AS (SELECT s, count(*)::DOUBLE AS outdeg FROM e GROUP BY s),
+        r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        r{i} AS (
+            SELECT v.id,
+                   (1 - 0.85)/(SELECT n FROM nn)
+                   + 0.85 * coalesce(sum(r.rank / od.outdeg), 0) AS rank
+            FROM v
+            LEFT JOIN e ON e.d = v.id
+            LEFT JOIN r{i - 1} r ON r.id = e.s
+            LEFT JOIN od ON od.s = e.s
+            GROUP BY v.id
+        )"""
+    sql += f"""
+        SELECT id, floor(rank * 1e6 + 0.5) / 1e6 AS rank FROM r{iterations}"""
+    return sql
 
 
 def _gaz_values() -> str:
@@ -1082,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM m JOIN documents USING (doc_id)
             ) GROUP BY obj
         """,
+        "kg_pagerank": _pagerank_oracle(mentions_cte, _URL, iterations=3),
         "set_ops": """
             WITH b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
                  m AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')

@@ -156,3 +156,32 @@ def test_sample_to_token_budget_greedy(spark):
     assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
     tight = sample_to_token_budget(df, "doc_id", "n_tokens", budget=50)
     assert {r["doc_id"] for r in tight.collect()} == {1}
+
+
+def test_pagerank_hand_computed(spark):
+    """One power-method round on a 3-node graph, checked by hand:
+    A->B, B->A, C->B with d=0.85."""
+    from tab2neo_spark.kg.analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("C", "B")], "src string, dst string"
+    )
+    out = {r["id"]: r["rank"] for r in
+           pagerank(edges, iterations=1, dp=4).collect()}
+    # r1(A) = .15/3 + .85*(1/3)  ;  r1(B) = .15/3 + .85*(2/3)  ;  r1(C) = .15/3
+    assert out == {"A": 0.3333, "B": 0.6167, "C": 0.05}
+
+
+def test_pagerank_star_graph_invariants(spark):
+    """Star -> hub -> sink: sources settle at pure teleport ((1-d)/n),
+    hub and the sink both exceed them, sources stay tied."""
+    from tab2neo_spark.kg.analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "out")],
+        "src string, dst string",
+    )
+    out = {r["id"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert out["a"] == out["b"] == out["c"] == 0.03  # (1-0.85)/5
+    assert out["hub"] > out["a"] and out["out"] > out["a"]
+    assert len(out) == 5
