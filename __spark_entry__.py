@@ -628,6 +628,23 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (LM statistics), min_count=5."""
+    from tab2neo_spark.operators.textstats import ngram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_counts(docs, "text", n=2, min_count=5)
+
+
+def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (det-rounded
+    before ranking, term tiebreak)."""
+    from tab2neo_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: md5-bucket assignment, a pure
     function of the doc id — stable across engines and cluster sizes."""
@@ -955,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "corpus_select": q_corpus_select,
         "multimodal_decode": q_multimodal_decode,
+        "ngram_counts": q_ngram_counts,
+        "tfidf_top": q_tfidf_top,
         "corpus_split": q_corpus_split,
         "corpus_budget": q_corpus_budget,
         "simhash_pairs": q_simhash_pairs,
@@ -1656,6 +1675,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, q_len, q_alpha, q_stop, q_wlen,
                    floor((q_len + q_alpha + q_stop + q_wlen) / 4.0 * 1000000.0 + 0.5) / 1000000.0 AS quality
             FROM comp
+        """,
+        "ngram_counts": """
+            WITH ws AS (
+                SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i + 1])) AS ngram
+                FROM ws
+            )
+            SELECT ngram, count(*) AS n_count FROM grams
+            GROUP BY ngram HAVING count(*) >= 5
+        """,
+        "tfidf_top": """
+            WITH terms AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       floor(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq.df_t)
+                             * 1e6 + 0.5) / 1e6 AS score
+                FROM tf JOIN dfreq USING (term)
+            )
+            SELECT doc_id, term, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                FROM scored
+            ) WHERE rn <= 3
         """,
         "corpus_split": """
             SELECT doc_id,

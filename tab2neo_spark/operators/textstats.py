@@ -97,3 +97,61 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
     portable to any engine for verification."""
     normalized = F.array_join(_words(text_col), " ")
     return df.withColumn(out_col, F.md5(normalized))
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str, n: int = 2, min_count: int = 1
+) -> DataFrame:
+    """Corpus n-gram frequency table: tokens slide into n-grams with a
+    JVM ``transform(sequence(...))`` (no Python), one explode, one
+    partial-aggregating groupBy — the LM-statistics pass of a
+    training-data pipeline. Returns ``(ngram, n_count)``."""
+    toks = _words(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_count"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_count") >= min_count)
+    return out
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, dp: int = 6
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    tf = term count within the document; idf = ln(N / df_t). One explode
+    + two aggregations + a broadcast-sized idf join (vocabulary-scale) +
+    a per-document window top-k. Scores are det_round'ed BEFORE ranking,
+    ties break on the term, so the top-k SET is engine-independent.
+    Returns ``(id_col, term, score)``."""
+    from pyspark.sql import Window
+
+    from tab2neo_spark.operators.numeric import det_round
+
+    n_docs = df.count()
+    terms = df.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        det_round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), dp
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

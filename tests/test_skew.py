@@ -185,3 +185,31 @@ def test_pagerank_star_graph_invariants(spark):
     assert out["a"] == out["b"] == out["c"] == 0.03  # (1-0.85)/5
     assert out["hub"] > out["a"] and out["out"] > out["a"]
     assert len(out) == 5
+
+
+def test_ngram_counts_hand_checked(spark):
+    from tab2neo_spark.operators.textstats import ngram_counts
+
+    df = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("x",)], "text string"
+    )
+    out = {r["ngram"]: r["n_count"] for r in ngram_counts(df, "text", n=2).collect()}
+    assert out == {"the cat": 2, "cat sat": 1, "cat ran": 1}
+    tri = {r["ngram"]: r["n_count"] for r in ngram_counts(df, "text", n=3).collect()}
+    assert tri == {"the cat sat": 1, "the cat ran": 1}
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    """'apple' is unique to doc 1 -> beats the shared 'common' term."""
+    from tab2neo_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple common"), (2, "banana common"), (3, "cherry common")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "text", "doc_id", k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+    # idf of 'common' (df=3, N=3) is ln(1)=0 -> score exactly 0
+    all3 = tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    assert all(r["score"] == 0.0 for r in all3 if r["term"] == "common")
