@@ -952,13 +952,147 @@ def q_term_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# candidate map for the link_scoring gate: ambiguous surfaces (one surface,
+# several candidate entities) drawn from words the synthetic docs contain.
+# Single source of truth for BOTH the Spark DataFrame and the oracle VALUES.
+LINK_CANDIDATES: list[tuple[str, str]] = [
+    ("join", "Operator:join"),
+    ("join", "Structure:join_index"),
+    ("table", "Structure:table"),
+    ("table", "Concept:furniture"),
+    ("order", "Operator:sort"),
+    ("order", "Structure:sequence"),
+]
+
+
+def q_link_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding entity-link scoring (kg/link.py): gazetteer candidates via
+    broadcast join, per-page cosine scoring in ONE groupBy.applyInPandas,
+    argmax-per-surface resolution. The md5-derived hash embeddings are
+    engine-reproducible, so DuckDB recomputes the identical scores."""
+    from tab2neo_spark.kg.link import link_entities
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = spark.createDataFrame(LINK_CANDIDATES, "surface string, entity string")
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    return link_entities(spark, pages, cand)
+
+
+def q_ct_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CT lifecycle (model_manager.py:742-819): terms built from the DATA's
+    distinct values (A8), then a create_ct batch whose Order continues from
+    the class's max; the NEXT chain derives from Order."""
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    m = MetadataModel()
+    m.create_class("Priority")
+    orders = _t(spark, sf_dir, "orders")
+    m.build_terms_for_distinct_values(
+        orders.select(F.col("o_orderpriority").alias("rdfs_label")),
+        "Priority", "PRI",
+    )
+    m.create_ct({"Priority": [{"Codelist Code": "PRI", "Term Code": "zz_extra",
+                               "rdfs:label": "zz_extra"}]})
+    w = Window.orderBy("order")
+    return m.terms_df(spark).select(
+        "term_code",
+        F.col("order").alias("ord"),
+        F.lead("term_code").over(w).alias("next_code"),
+    )
+
+
+def q_rels_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """propagate_rels_to_parent_class (model_manager.py:1003-1019) feeding
+    infer_rels: the IN_NATION rel is declared on the CHILD class (Segment);
+    querying the PARENT (MktGroup) only connects because propagation copied
+    the rel up the SUBCLASS_OF hierarchy."""
+    from tab2neo_spark.model.metadata import MetadataModel
+    from tab2neo_spark.provider import DataProvider
+
+    cust = _t(spark, sf_dir, "customer")
+    m = MetadataModel()
+    m.create_class("Nation")
+    m.create_subclass("MktGroup", "Segment")  # Segment SUBCLASS_OF MktGroup
+    m.create_relationship("Segment", "Nation", "IN_NATION")
+    assert m.propagate_rels_to_parent_class() == 1
+
+    def _nodes(cls, col):
+        v = F.col(col).cast("string")
+        return cust.select(v.alias("rdfs_label")).distinct().select(
+            F.xxhash64(F.lit(cls), "rdfs_label").alias("node_id"),
+            F.lit(cls).alias("class"),
+            "rdfs_label",
+            F.lit(None).cast("string").alias("uri"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    nodes = _nodes("MktGroup", "c_mktsegment").unionByName(_nodes("Nation", "c_nationkey"))
+    edges = cust.select(
+        F.xxhash64(F.lit("MktGroup"), F.col("c_mktsegment").cast("string")).alias("src"),
+        F.lit("IN_NATION").alias("rel_type"),
+        F.xxhash64(F.lit("Nation"), F.col("c_nationkey").cast("string")).alias("dst"),
+    ).distinct()
+    dp = DataProvider(spark, m, nodes, edges)
+    return dp.get_data(["MktGroup", "Nation"])  # rel inferred via propagation
+
+
+def q_where_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare {'incl_null': bool} dialect (tests_query_builders/test_qb2.py:336)
+    compiling to IS NULL / IS NOT NULL over a derived nullable column."""
+    from tab2neo_spark.operators.predicates import apply_where_map
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "seg_nullable", F.expr("nullif(c_mktsegment, 'BUILDING')")
+    )
+    a = apply_where_map(cust, {"seg_nullable": {"incl_null": True}}).select(
+        "c_custkey").withColumn("op", F.lit("null"))
+    b = apply_where_map(cust, {"seg_nullable": {"incl_null": False}}).select(
+        "c_custkey").withColumn("op", F.lit("not_null"))
+    return a.unionByName(b)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered for the driver's 50-row/round cap: queries WITHOUT a green
+    CORRECTNESS row from the latest round come FIRST (the 19 rows the r2
+    gate skipped — including ``sessionize``, red in r1 and since fixed —
+    plus this round's new/changed gates), then the previously-green rows.
+    The full set is always verifiable via tools/check_correctness.py."""
     return {
+        # -- r2-unverified rotation (VERDICT r2, Next round #1) --------------
+        "sessionize": q_sessionize,
+        "build_uri": q_build_uri,
+        "distinct_values": q_distinct_values,
+        "json_props": q_json_props,
+        "multimodal_meta": q_multimodal_meta,
+        "sas_dates": q_sas_dates,
+        "pack_values": q_pack_values,
+        "window_top1": q_window_top1,
+        "window_chain": q_window_chain,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "embed_topk": q_embed_topk,
+        "embed_ann_lsh": q_embed_ann_lsh,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        # -- new or materially changed this round ----------------------------
+        "link_scoring": q_link_scoring,
+        "corpus_budget": q_corpus_budget,
+        "dedup_canonical": q_dedup_canonical,
+        "multimodal_decode": q_multimodal_decode,
+        "ct_ordering": q_ct_ordering,
+        "rels_propagation": q_rels_propagation,
+        "where_null": q_where_null,
+        "kg_readback_packmap": q_kg_readback_packmap,
+        # -- previously green (r1/r2), rotated to the back --------------------
         "kg_extract_text": q_kg_extract_text,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
@@ -973,13 +1107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "disjoint_collect": q_disjoint_collect,
         "dedup_minhash_verified": q_dedup_minhash_verified,
-        "dedup_canonical": q_dedup_canonical,
         "corpus_select": q_corpus_select,
-        "multimodal_decode": q_multimodal_decode,
         "ngram_counts": q_ngram_counts,
         "tfidf_top": q_tfidf_top,
         "corpus_split": q_corpus_split,
-        "corpus_budget": q_corpus_budget,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "embed_ann_ivf": q_embed_ann_ivf,
@@ -1001,7 +1132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_exists_exclude": q_where_exists_exclude,
         "where_exists_directional": q_where_exists_directional,
         "where_exists_matched": q_where_exists_matched,
-        "kg_readback_packmap": q_kg_readback_packmap,
         "where_not_exists": q_where_not_exists,
         "join_nway": q_join_nway,
         "join_optional": q_join_optional,
@@ -1009,25 +1139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats": q_agg_stats,
         "agg_grouping_sets": q_agg_grouping_sets,
         "agg_percentage": q_agg_percentage,
-        "pack_values": q_pack_values,
-        "window_top1": q_window_top1,
-        "window_chain": q_window_chain,
-        "sessionize": q_sessionize,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "simhash": q_simhash,
-        "embed_topk": q_embed_topk,
-        "embed_ann_lsh": q_embed_ann_lsh,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "sas_dates": q_sas_dates,
-        "json_props": q_json_props,
-        "build_uri": q_build_uri,
-        "distinct_values": q_distinct_values,
     }
 
 
@@ -1084,6 +1195,23 @@ def _canon_values() -> str:
 
     rows = ", ".join(f"('{s}', '{c}')" for s, c in sorted(canonical_lookup().items()))
     return f"(VALUES {rows}) AS t(surface, canonical)"
+
+
+def _vec16_sql(key_expr: str) -> str:
+    """DuckDB expression reproducing kg/link._hash_vec's UNnormalized
+    16-dim md5 embedding (cosine is normalization-invariant): value i comes
+    from md5(key || '#' || i//4), hex chars (i%4)*8+1..+8, scaled to
+    [-1, 1)."""
+    return (
+        "list_transform(range(0, 16), i -> "
+        f"('0x' || substr(md5({key_expr} || '#' || (i // 4)::VARCHAR), "
+        "(i % 4) * 8 + 1, 8))::BIGINT / 4294967296.0 * 2.0 - 1.0)"
+    )
+
+
+def _link_cand_values() -> str:
+    rows = ", ".join(f"('{s}', '{e}')" for s, e in LINK_CANDIDATES)
+    return f"(VALUES {rows}) AS c(surface, entity)"
 
 
 _QVEC = ", ".join(["1.0"] + ["0.0"] * 63)
@@ -1827,4 +1955,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, 'Customer_by/' || c_custkey AS uri FROM customer
         """,
         "distinct_values": "SELECT DISTINCT l_returnflag FROM lineitem",
+        "link_scoring": f"""
+            WITH cand AS (SELECT * FROM {_link_cand_values()}),
+            toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS ws
+                FROM documents
+            ),
+            hits AS (
+                SELECT t.doc_id, c.surface, c.entity
+                FROM toks t JOIN cand c ON list_contains(t.ws, c.surface)
+            ),
+            pv AS (SELECT doc_id, {_vec16_sql('text')} AS v FROM documents),
+            ev AS (
+                SELECT entity, {_vec16_sql("'entity:' || entity")} AS v
+                FROM (SELECT DISTINCT entity FROM cand)
+            ),
+            scored AS (
+                SELECT h.doc_id::VARCHAR AS url, h.surface, h.entity,
+                       floor(list_cosine_similarity(p.v, e.v) * 1e6 + 0.5) / 1e6 AS score
+                FROM hits h JOIN pv p USING (doc_id) JOIN ev e USING (entity)
+            )
+            SELECT url, surface, entity, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY url, surface ORDER BY score DESC, entity) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        """,
+        "ct_ordering": """
+            WITH v AS (SELECT DISTINCT o_orderpriority AS tc FROM orders),
+            r AS (SELECT tc, row_number() OVER (ORDER BY tc) AS ord FROM v),
+            u AS (
+                SELECT tc, ord FROM r
+                UNION ALL
+                SELECT 'zz_extra', (SELECT max(ord) FROM r) + 1
+            )
+            SELECT tc AS term_code, ord,
+                   lead(tc) OVER (ORDER BY ord) AS next_code
+            FROM u
+        """,
+        "rels_propagation": """
+            SELECT DISTINCT c_mktsegment AS "MktGroup",
+                   c_nationkey::VARCHAR AS "Nation"
+            FROM customer
+        """,
+        "where_null": """
+            SELECT c_custkey, 'null' AS op FROM customer
+            WHERE nullif(c_mktsegment, 'BUILDING') IS NULL
+            UNION ALL
+            SELECT c_custkey, 'not_null' FROM customer
+            WHERE nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+        """,
     }

@@ -96,7 +96,10 @@ def score_and_resolve(
                 id_col: pdf[id_col],
                 surface_col: pdf[surface_col],
                 entity_col: pdf[entity_col],
-                "score": np.round(scores, 6),
+                # det_round convention (operators/numeric.py): floor(x*1e6
+                # + .5)/1e6 — half-up on every engine, unlike np.round's
+                # half-even, so a DuckDB oracle can reproduce the scores
+                "score": np.floor(scores * 1e6 + 0.5) / 1e6,
             }
         )
         # argmax per surface; ties -> lexicographically first entity

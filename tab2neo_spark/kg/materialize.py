@@ -281,11 +281,21 @@ class GraphStore:
             path = self.path(table)
             if not os.path.isdir(path):
                 continue
-            df = self.spark.read.parquet(path)
+            # mergeSchema: _action exists only on rows written via
+            # write_method_result; rows from other writers (e.g.
+            # materialize_kg on the same table) lack it. Without the merged
+            # read, a sampled footer missing _action would silently no-op
+            # the rollback; without the null-safe coalesce, those rows'
+            # NULL _action would make the keep-predicate NULL and filter()
+            # would DROP unrelated same-run rows.
+            df = self.spark.read.option("mergeSchema", "true").parquet(path)
             if "_action" not in df.columns:
-                continue
+                continue  # table has no action-written rows at all
             kept = df.filter(
-                ~((F.col("run_id") == run_id) & (F.col("_action") == action_idx))
+                ~(
+                    (F.col("run_id") == run_id)
+                    & F.coalesce(F.col("_action") == action_idx, F.lit(False))
+                )
             )
             tmp = path + "__rollback_tmp"
             writer = kept.write.mode("overwrite")

@@ -349,6 +349,21 @@ class RefactorEngine:
             .dropDuplicates()
         )
 
+    def remove_auxiliary_term_labels(
+        self, labels: DataFrame, edges: DataFrame
+    ) -> DataFrame:
+        """Post-reshape cleanup (model_manager.py:1068-1088): drop extra
+        labels from Term nodes never extracted from data — i.e. keep only
+        label rows whose node has an outgoing FROM_DATA edge. One semi-join
+        on node ids (broadcast-able: the FROM_DATA id set projects to a
+        single bigint column)."""
+        from_data_nodes = (
+            edges.filter(F.col("rel_type") == FROM_DATA)
+            .select(F.col("src").alias("node_id"))
+            .distinct()
+        )
+        return labels.join(from_data_nodes, "node_id", "left_semi")
+
     # -- R9 -------------------------------------------------------------------
 
     def refactor_all(

@@ -79,6 +79,9 @@ class MetadataModel:
     subclass_of: list[tuple[str, str]] = field(default_factory=list)  # (child, parent)
     terms: list[TermSpec] = field(default_factory=list)
     same_as: list[tuple[str, str]] = field(default_factory=list)
+    # directed Term-level SAME_AS: ((class, ident-props...), (class, ident-props...))
+    # — create_same_as_ct / remove_same_as_ct (model_manager.py:941-1001)
+    term_same_as: list[tuple[tuple, tuple]] = field(default_factory=list)
     property_mappings: list[PropertyMapping] = field(default_factory=list)
     # subclass-edge JSON conditions keyed by (child, parent)
     # (model_manager.py:237-242: SET sub.conditions = toJson(cond))
@@ -198,6 +201,337 @@ class MetadataModel:
 
     def add_term(self, term: TermSpec) -> None:
         self.terms.append(term)
+
+    # -- CT lifecycle (model_manager.py:742-1001) -----------------------------
+
+    # reference Term property names -> TermSpec fields
+    TERM_PROP_FIELDS = {
+        "rdfs:label": "rdfs_label",
+        "Codelist Code": "codelist_code",
+        "Term Code": "term_code",
+        "Order": "order",
+    }
+
+    def _term_prop(self, t: TermSpec, prop: str):
+        f = self.TERM_PROP_FIELDS.get(prop)
+        if f is None:
+            raise KeyError(
+                f"unknown Term property {prop!r}; known: {sorted(self.TERM_PROP_FIELDS)}"
+            )
+        return getattr(t, f)
+
+    def _class_by_identifier(self, value: str, identifier: str) -> str | None:
+        if identifier == "label":
+            return value if value in self.classes else None
+        for c in self.classes.values():
+            if getattr(c, identifier, None) == value:
+                return c.label
+        return None
+
+    def get_missing_classes(self, values: list, identifier: str = "label") -> set:
+        """Subset of ``values`` with no matching class by ``identifier``
+        (model_manager.py:153-170)."""
+        return {
+            v for v in values if self._class_by_identifier(v, identifier) is None
+        }
+
+    def create_ct(
+        self,
+        controlled_terminology: dict,
+        identifier: str = "label",
+        order_terms: bool = True,
+        merge_on: list[str] | None = None,
+    ) -> list[TermSpec]:
+        """``{class_ident: [{'Codelist Code':…, 'Term Code':…, 'rdfs:label':…}]}``
+        -> Term rows linked to the class (model_manager.py:742-819).
+
+        ``merge_on`` prevents duplicates on those identifying props. With
+        ``order_terms``, terms without an Order get ascending integers
+        continuing from the class's current max, assigned in
+        (Codelist Code, Term Code) order — exactly the reference's q2; the
+        NEXT chain is derived from Order at read time (A7/term_chain), not
+        stored."""
+        from dataclasses import replace
+
+        missing = self.get_missing_classes(list(controlled_terminology), identifier)
+        assert not missing, (
+            f"Cannot create controlled terminology for nonexistent classes: {missing}"
+        )
+        created: list[TermSpec] = []
+        for cls_ident, term_rows in controlled_terminology.items():
+            label = self._class_by_identifier(cls_ident, identifier)
+            for props in term_rows:
+                updates = {
+                    fld: props[p]
+                    for p, fld in self.TERM_PROP_FIELDS.items() if p in props
+                }
+                match_i = None
+                if merge_on:
+                    match_i = next(
+                        (i for i, t in enumerate(self.terms)
+                         if t.class_label == label
+                         and all(self._term_prop(t, p) == props.get(p)
+                                 for p in merge_on)),
+                        None,
+                    )
+                if match_i is not None:
+                    # apoc.merge.node ON MATCH SET: update the given props,
+                    # keep the rest (incl. Order) — model_manager.py:776-785
+                    self.terms[match_i] = replace(self.terms[match_i], **updates)
+                    continue
+                # absent props stay None, exactly like absent node props
+                spec = TermSpec(
+                    class_label=label,
+                    codelist_code=props.get("Codelist Code"),
+                    term_code=props.get("Term Code"),
+                    rdfs_label=props.get("rdfs:label"),
+                    order=props.get("Order"),
+                )
+                self.terms.append(spec)
+                created.append(spec)
+        if order_terms:
+            for cls_ident in controlled_terminology:
+                label = self._class_by_identifier(cls_ident, identifier)
+                have = [t.order for t in self.terms
+                        if t.class_label == label and t.order is not None]
+                nxt = (max(have) + 1) if have else 1
+                unordered = sorted(
+                    (i for i, t in enumerate(self.terms)
+                     if t.class_label == label and t.order is None),
+                    key=lambda i: (self.terms[i].codelist_code,
+                                   self.terms[i].term_code),
+                )
+                for i in unordered:
+                    self.terms[i] = replace(self.terms[i], order=nxt)
+                    nxt += 1
+        return created
+
+    def get_class_ct(self, class_: str, ct_prop_name: str = "rdfs:label") -> list:
+        """Distinct term property values for one class, insertion-ordered
+        (model_manager.py:819-833)."""
+        seen, out = set(), []
+        for t in self.terms:
+            if t.class_label != class_:
+                continue
+            v = self._term_prop(t, ct_prop_name)
+            # Cypher's collect() skips nulls
+            if v is not None and v not in seen:
+                seen.add(v)
+                out.append(v)
+        return out
+
+    def get_class_ct_map(
+        self,
+        classes: list[str],
+        ct_props: list[str] | None = None,
+        identifier: str = "label",
+    ) -> dict:
+        """``{class_ident: [{prop: value}, …]}`` for each class WITH terms
+        (classes without terms are absent, as in the reference's
+        MATCH-based collect, model_manager.py:835-880)."""
+        if isinstance(classes, str):
+            classes = [classes]
+        if ct_props is None:
+            ct_props = ["rdfs:label"]
+        elif isinstance(ct_props, str):
+            ct_props = [ct_props]
+        out: dict = {}
+        for cls_ident in classes:
+            label = self._class_by_identifier(cls_ident, identifier)
+            rows = [
+                {p: self._term_prop(t, p) for p in ct_props}
+                for t in self.terms
+                if t.class_label == label
+            ]
+            if rows:
+                out[cls_ident] = rows
+        return out
+
+    def get_all_ct(
+        self,
+        term_props: list[str],
+        class_prop: str = "label",
+        derived_only: bool = False,
+    ) -> list[dict]:
+        """Flat ``[{class_prop: ident, prop: value, …}, …]`` over ALL terms
+        (model_manager.py:905-939)."""
+        assert len(term_props) >= 1, "Must include at least 1 term_prop"
+        assert class_prop not in term_props, "Class prop cannot be in term props"
+        out = []
+        for t in self.terms:
+            c = self.classes.get(t.class_label)
+            if derived_only and not (c and c.derived):
+                continue
+            ident = getattr(c, class_prop, t.class_label) if c else t.class_label
+            out.append({class_prop: ident,
+                        **{p: self._term_prop(t, p) for p in term_props}})
+        return out
+
+    def delete_ct(
+        self,
+        controlled_terminology: dict,
+        ct_props: list[str],
+        identifier: str = "label",
+    ) -> int:
+        """Delete terms matching per-class property-value tuples; DETACH
+        semantics also drop the term's SAME_AS links
+        (model_manager.py:882-903). Returns the number of terms deleted."""
+        doomed: set[tuple] = set()
+        for cls_ident, rows in controlled_terminology.items():
+            label = self._class_by_identifier(cls_ident, identifier)
+            for vals in rows:
+                doomed.add((label, tuple(vals)))
+        kept, removed = [], []
+        for t in self.terms:
+            key = (t.class_label, tuple(self._term_prop(t, p) for p in ct_props))
+            (removed if key in doomed else kept).append(t)
+        self.terms = kept
+        gone = {(t.class_label, t.codelist_code, t.term_code) for t in removed}
+        self.term_same_as = [
+            (a, b) for a, b in self.term_same_as if a not in gone and b not in gone
+        ]
+        return len(removed)
+
+    def _resolve_term(self, class_label: str | None, props: dict,
+                      term_identifiers: list[str]) -> tuple | None:
+        for t in self.terms:
+            if t.class_label == class_label and all(
+                self._term_prop(t, p) == props[p] for p in term_identifiers
+            ):
+                return (t.class_label, t.codelist_code, t.term_code)
+        return None
+
+    @staticmethod
+    def _sa_side(entry: dict, side: str, term_identifiers: list[str]) -> dict:
+        return {
+            p: entry[f"{side}_{p.lower().replace(' ', '_')}"]
+            for p in term_identifiers
+        }
+
+    def create_same_as_ct(
+        self,
+        same_as_terms: list[dict],
+        term_identifiers: list[str],
+        identifier: str = "label",
+    ) -> int:
+        """Directed Term-level SAME_AS (model_manager.py:941-976): each
+        entry names from_class/to_class plus ``from_<prop>``/``to_<prop>``
+        for every term identifier (lowercased, spaces->underscores).
+        MATCH semantics: both terms must exist; MERGE semantics: no dups."""
+        added = 0
+        for entry in same_as_terms:
+            t1 = self._resolve_term(
+                self._class_by_identifier(entry["from_class"], identifier),
+                self._sa_side(entry, "from", term_identifiers), term_identifiers)
+            t2 = self._resolve_term(
+                self._class_by_identifier(entry["to_class"], identifier),
+                self._sa_side(entry, "to", term_identifiers), term_identifiers)
+            if t1 is None or t2 is None:
+                continue
+            if (t1, t2) not in self.term_same_as:
+                self.term_same_as.append((t1, t2))
+                added += 1
+        return added
+
+    def remove_same_as_ct(
+        self,
+        same_as_terms: list[dict],
+        term_identifiers: list[str],
+        identifier: str = "label",
+    ) -> int:
+        """Inverse of :meth:`create_same_as_ct` (model_manager.py:978-1001)."""
+        removed = 0
+        for entry in same_as_terms:
+            t1 = self._resolve_term(
+                self._class_by_identifier(entry["from_class"], identifier),
+                self._sa_side(entry, "from", term_identifiers), term_identifiers)
+            t2 = self._resolve_term(
+                self._class_by_identifier(entry["to_class"], identifier),
+                self._sa_side(entry, "to", term_identifiers), term_identifiers)
+            if t1 is None or t2 is None:
+                continue
+            before = len(self.term_same_as)
+            self.term_same_as = [p for p in self.term_same_as if p != (t1, t2)]
+            removed += before - len(self.term_same_as)
+        return removed
+
+    # -- relationship propagation over SUBCLASS_OF (model_manager.py:1003-1040)
+
+    def _propagate_rels(self, mapping: dict[str, set[str]]) -> int:
+        added = 0
+        for r in list(self.relationships):
+            for end_label, other, flip in (
+                (r.from_label, r.to_label, False),
+                (r.to_label, r.from_label, True),
+            ):
+                for source in sorted(mapping.get(end_label, ())):
+                    new = (
+                        RelSpec(other, source, r.relationship_type)
+                        if flip
+                        else RelSpec(source, other, r.relationship_type)
+                    )
+                    if new not in self.relationships:
+                        self.relationships.append(new)
+                        added += 1
+        return added
+
+    def propagate_rels_to_parent_class(self) -> int:
+        """Copy each relationship endpoint up to every SUBCLASS_OF ancestor
+        (model_manager.py:1003-1019): a rel touching child class ``c`` is
+        re-created with each ancestor substituted for ``c``, same type and
+        direction. Idempotent; returns rels added."""
+        anc: dict[str, set[str]] = {}
+        for child, a, d in self.subclass_closure():
+            if d > 0:
+                anc.setdefault(child, set()).add(a)
+        return self._propagate_rels(anc)
+
+    def propagate_rels_to_child_class(self) -> int:
+        """Copy each relationship endpoint down to every SUBCLASS_OF
+        descendant (model_manager.py:1021-1040)."""
+        desc: dict[str, set[str]] = {}
+        for child, a, d in self.subclass_closure():
+            if d > 0:
+                desc.setdefault(a, set()).add(child)
+        return self._propagate_rels(desc)
+
+    def create_custom_rels_from_list(
+        self, rels: list[list[str]], create_if_absent: bool = False
+    ) -> None:
+        """CLASS_RELATES_TO edges between class pairs
+        (model_manager.py:1201-1243): non-string pairs are skipped; absent
+        classes are created only when ``create_if_absent`` (otherwise the
+        pair is skipped, the reference's MATCH-no-row behavior)."""
+        for pair in rels or []:
+            left, right = pair[0], pair[1]
+            if not (isinstance(left, str) and isinstance(right, str)):
+                continue
+            if create_if_absent:
+                self.create_class(left)
+                self.create_class(right)
+            elif left not in self.classes or right not in self.classes:
+                continue
+            self.create_relationship(left, right, "CLASS_RELATES_TO")
+
+    def delete_from_graph(self) -> dict[str, int]:
+        """Teardown of everything derivation added (model_manager.py:1376-1404):
+        derived classes with their terms and touching relationships, plus
+        ALL Term-level SAME_AS links. Method specs are plain JSON in this
+        engine (pipeline/runner.py spec factory) — there are no Method
+        nodes to delete. Returns per-kind delete counts."""
+        derived = {lb for lb, c in self.classes.items() if c.derived}
+        n_terms = len([t for t in self.terms if t.class_label in derived])
+        self.terms = [t for t in self.terms if t.class_label not in derived]
+        n_rels = len([
+            r for r in self.relationships
+            if r.from_label in derived or r.to_label in derived
+        ])
+        n_sa = len(self.term_same_as)
+        self.term_same_as = []
+        for lb in derived:
+            self.delete_class(lb)
+        return {"classes": len(derived), "terms": n_terms,
+                "relationships": n_rels, "same_as": n_sa}
 
     def propagate_terms_to_parent_class(self) -> int:
         """Copy every child class's terms to its SUBCLASS_OF ancestors

@@ -60,30 +60,87 @@ def sample_to_token_budget(
     token_col: str,
     budget: int,
     order_col: str | None = None,
+    num_bands: int = 1024,
 ) -> DataFrame:
     """Keep the best documents until a token budget is hit: rows ordered
     by ``order_col`` DESC (quality score; default = ``token_col``) with
-    deterministic id tiebreak; a running token sum admits every row whose
-    PRECEDING total stays under ``budget`` (so the budget may be exceeded
-    by at most one document — the standard greedy fill).
+    deterministic id tiebreak; a row is admitted iff the token total of
+    every PRECEDING row stays under ``budget`` (so the budget may be
+    exceeded by at most one document — the standard greedy fill).
 
-    One global window — at corpus scale, pre-aggregate per quality band
-    and binary-search the cutoff instead; this operator is the exact
-    small-N / per-shard form.
+    Scale-safe banded form (no corpus-wide single-partition window):
+
+    1. equal-width bands over the order key (band edges = driver-side
+       constants from one min/max agg);
+    2. per-band token sums — ONE partial-aggregated shuffle of <=
+       ``num_bands`` tiny rows, collected to the driver;
+    3. driver prefix-scan finds the boundary band: bands before it are
+       admitted wholesale (pure filter, zero shuffle), bands after it are
+       rejected wholesale;
+    4. the exact running-sum window runs ONLY inside the boundary band
+       (~n/num_bands rows), seeded with the admitted bands' token total.
+
+    The two driver collects are metadata-scale (1 row; <= num_bands rows).
+    Worst case — every row shares one order value — degenerates to the
+    exact single-band window, which is then unavoidable for these
+    semantics. NULL order keys sort last (Spark/SQL DESC NULLS LAST) and
+    are assigned to the last band.
     """
-    from pyspark.sql import Window
-
     order = order_col or token_col
-    w = (
-        Window.orderBy(F.desc(order), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
+
+    def _exact(part: DataFrame, offset: int) -> DataFrame:
+        w = (
+            Window.orderBy(F.desc(order), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.lit(offset) + F.coalesce(F.sum(token_col).over(w), F.lit(0))
+        return (
+            part.withColumn("_prev_tokens", prev)
+            .filter(F.col("_prev_tokens") < budget)
+            .drop("_prev_tokens")
+        )
+
+    r = df.agg(F.min(order).alias("lo"), F.max(order).alias("hi")).collect()[0]
+    if r["lo"] is None:
+        return df.filter(F.lit(False))
+    lo, hi = float(r["lo"]), float(r["hi"])
+    if hi == lo:
+        return _exact(df, 0).select(*df.columns)
+
+    width = (hi - lo) / num_bands
+    band_expr = F.when(
+        F.col(order).isNull(), F.lit(num_bands - 1)
+    ).otherwise(
+        F.least(
+            F.lit(num_bands - 1),
+            F.floor((F.lit(hi) - F.col(order).cast("double")) / F.lit(width)).cast("int"),
+        )
     )
-    running = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    return (
-        df.withColumn("_prev_tokens", running)
-        .filter(F.col("_prev_tokens") < budget)
-        .drop("_prev_tokens")
-    )
+    banded = df.withColumn("_band", band_expr)
+    per_band = {
+        row["_band"]: row["_tok"]
+        for row in banded.groupBy("_band").agg(F.sum(token_col).alias("_tok")).collect()
+    }
+    admitted: list[int] = []
+    boundary = None
+    cum = 0
+    for b in sorted(per_band):
+        if cum + per_band[b] < budget:
+            admitted.append(b)
+            cum += per_band[b]
+        else:
+            # rows past this band have preceding totals >= cum + this
+            # band's sum >= budget -> rejected wholesale
+            boundary = b
+            break
+
+    full = banded.filter(F.col("_band").isin(admitted)) if admitted else None
+    if boundary is None:
+        out = full
+    else:
+        edge = _exact(banded.filter(F.col("_band") == boundary), cum)
+        out = edge if full is None else full.unionByName(edge)
+    return out.drop("_band").select(*df.columns)
 
 
 def select_training_corpus(

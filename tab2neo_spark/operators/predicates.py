@@ -22,6 +22,9 @@ Dialect (per property):
   ``col IS NOT NULL AND ..``, a no-op for range predicates since NULL
   never satisfies a comparison, kept for dialect parity)
                               -> ``min </<= col </<= max [OR col IS NULL]``
+- bare {"incl_null": True/False} (no min/max)
+                              -> ``col IS NULL`` / ``col IS NOT NULL``
+                                  (tests_query_builders/test_qb2.py:336)
 """
 
 from __future__ import annotations
@@ -42,6 +45,11 @@ def _is_range(value: Any) -> bool:
 
 def compile_condition(col: Column, value: Any) -> Column:
     """One property's condition -> a boolean Column."""
+    # bare {"incl_null": bool} (no min/max) is a pure null check in the
+    # reference dialect (tests_query_builders/test_qb2.py:336):
+    # True -> IS NULL, False -> IS NOT NULL
+    if isinstance(value, Mapping) and set(value) == {"incl_null"}:
+        return col.isNull() if value["incl_null"] else col.isNotNull()
     if isinstance(value, Mapping) and "not_in" in value:
         v = value["not_in"]
         vals = v if isinstance(v, (list, tuple)) else [v]

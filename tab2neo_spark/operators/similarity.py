@@ -231,6 +231,16 @@ def embedding_near_dup_pairs(
     self-joins bounded."""
     if num_bits % bands:
         raise ValueError("num_bits must divide evenly into bands")
+    # dim < num_bits would make F.slice return short arrays: trailing bands
+    # get an empty-string signature shared by EVERY vector, silently turning
+    # the banded blocking into a full O(n^2) self-join. One-row probe
+    # (limit-1 scan, driver-side) to fail fast instead.
+    probe = df.select(F.size(F.col(vec_col)).alias("n")).head(1)
+    if probe and probe[0]["n"] is not None and probe[0]["n"] < num_bits:
+        raise ValueError(
+            f"embedding dimension {probe[0]['n']} < num_bits={num_bits}; "
+            f"pass num_bits <= the vector dimension"
+        )
     r = num_bits // bands
     bits = F.transform(
         F.slice(F.col(vec_col), 1, num_bits),

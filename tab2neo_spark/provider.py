@@ -361,7 +361,22 @@ class DataProvider:
                     )
                 )
                 entries = F.filter(entries, lambda x: x.isNotNull())
-                aggs.append(F.map_from_entries(entries).alias(f"{lb}_map"))
+                # a key class can map 1:N to packed values within a group;
+                # map_from_entries would raise DUPLICATED_MAP_KEY under
+                # Spark's default EXCEPTION dedup policy. The reference's
+                # apoc.map.fromPairs keeps the last pair seen (row order —
+                # nondeterministic); here entries are sorted (key, value),
+                # so keeping the last occurrence per key = deterministic
+                # max-value-per-key (documented divergence).
+                n = F.size(entries)
+                # F.get is 0-indexed and NULL (never ANSI error) out of
+                # bounds, so the i == n-1 guard composes safely
+                last_per_key = F.filter(
+                    entries,
+                    lambda x, i: (i == n - 1)
+                    | (F.get(entries, i + 1)["key"] != x["key"]),
+                )
+                aggs.append(F.map_from_entries(last_per_key).alias(f"{lb}_map"))
             result = result.groupBy(*keys).agg(*aggs)
 
             # pivot (data_provider.py:252-262): expand each map-packed

@@ -48,7 +48,7 @@ def oracle_links(pages, cand_rows):
             scored = []
             for e in sorted(ents):
                 ev = _hash_vec(f"entity:{e}")
-                scored.append((round(float(ev @ pv), 6), e))
+                scored.append((float(np.floor(float(ev @ pv) * 1e6 + 0.5) / 1e6), e))
             best_score = max(x[0] for x in scored)
             best = min(e for sc, e in scored if sc == best_score)
             out.add((url, s, best))
@@ -73,7 +73,7 @@ def test_scores_are_cosines(spark, pages_text, candidate_map):
                                        ("u2", "spark runs a table join"),
                                        ("u3", "no relevant words here")] if u == r["url"]][0])
         ev = _hash_vec(f"entity:{r['entity']}")
-        assert abs(r["score"] - round(float(ev @ pv), 6)) < 1e-9
+        assert abs(r["score"] - np.floor(float(ev @ pv) * 1e6 + 0.5) / 1e6) < 1e-9
 
 
 def test_deterministic_across_runs(spark, pages_text, candidate_map):

@@ -126,3 +126,38 @@ def test_corpus_select_single_exchange_no_python(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_token_budget_window_is_band_bounded(spark, sf_dir):
+    """The greedy token-budget fill must NOT funnel the whole corpus
+    through one task: the only single-partition Window sits above a filter
+    on the boundary band (~n/num_bands rows); every other band is admitted
+    or rejected by a plain filter."""
+    from tab2neo_spark.operators.corpus import sample_to_token_budget
+    from tab2neo_spark.operators.textstats import token_count
+
+    docs = token_count(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "text"
+    ).select("doc_id", "n_tokens")
+    out = sample_to_token_budget(docs, "doc_id", "n_tokens", budget=5000)
+    plan = _optimized(out)
+    # the Window's subtree must be scoped to the boundary band (the
+    # optimizer inlines the _band alias into its CASE WHEN expression)
+    win = plan[plan.index("Window") :]
+    assert "Filter" in win and ("_band" in win or "CASE WHEN" in win)
+    # admitted bands flow through WITHOUT any Window/global sort
+    assert plan.count("Window") == 1
+    # and the result matches the exact single-window reference semantics
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n_tokens"), F.col("doc_id")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ref = (
+        docs.withColumn("_p", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("_p") < 5000)
+        .drop("_p")
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in ref.collect()
+    )

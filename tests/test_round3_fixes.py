@@ -1,0 +1,114 @@
+"""Round-3 regression tests for the ADVICE findings:
+
+1. rollback_action must be null-safe when a table mixes action-written rows
+   (carrying ``_action``) with rows from other writers (no ``_action``).
+2. labels_to_pack map form must not crash on a 1:N key->value group
+   (Spark's default mapKeyDedupPolicy=EXCEPTION).
+3. embedding_near_dup_pairs must reject num_bits > vector dimension
+   (silent O(n^2) degeneration otherwise).
+4. bare {"incl_null": bool} where_map conditions compile to null checks
+   (reference tests_query_builders/test_qb2.py:336).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rollback_action_keeps_rows_without_action_column(spark, tmp_path):
+    """Same run_id, same table, two writers: one batch has no _action
+    column. rollback_action(run, 2) must delete ONLY (run, _action=2) rows
+    — the NULL-_action rows survive (previously the NULL predicate dropped
+    them, or a non-merged schema silently no-op'ed the rollback)."""
+    from tab2neo_spark.kg.materialize import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    schema = "node_id long, class string, rdfs_label string"
+    plain = spark.createDataFrame([(1, "Subject", "s1"), (2, "Subject", "s2")], schema)
+    acted = spark.createDataFrame([(3, "Sex", "M"), (4, "Sex", "F")], schema)
+
+    # writer A: no _action column (the materialize_kg path)
+    store.write_stage(plain, "nodes", "r1", "plain",
+                      partition_by=["class"], dedup_key=["node_id"])
+    # writer B: action-provenance rows (the write_method_result path)
+    store.write_stage(acted.withColumn("_action", F.lit(2)), "nodes", "r1",
+                      "m__a2_nodes0", partition_by=["class"],
+                      dedup_key=["node_id"])
+
+    store.rollback_action("r1", 2, ["nodes"])
+    kept = store.read("nodes")
+    assert {r["rdfs_label"] for r in kept.collect()} == {"s1", "s2"}
+
+
+def test_rollback_action_absent_column_noops(spark, tmp_path):
+    """A table with NO action-written rows at all: rollback_action is a
+    no-op (and must not crash on the absent column)."""
+    from tab2neo_spark.kg.materialize import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    df = spark.createDataFrame([(1, "A", "x")],
+                               "node_id long, class string, rdfs_label string")
+    store.write_stage(df, "nodes", "r1", "s0", partition_by=["class"])
+    store.rollback_action("r1", 0, ["nodes"])
+    assert store.read("nodes").count() == 1
+
+
+def test_map_pack_duplicate_key_keeps_max_value(spark):
+    """map-form labels_to_pack with a key class 1:N to packed values in one
+    group: deterministic last-sorted (max) value per key instead of a
+    DUPLICATED_MAP_KEY crash (documented divergence from apoc's
+    nondeterministic last-row-wins, query_builder.py:776-782)."""
+    from tab2neo_spark.model.metadata import MetadataModel
+    from tab2neo_spark.provider import DataProvider
+
+    nodes = spark.createDataFrame(
+        [
+            (10, "S", "s1", None, None),
+            (20, "G", "young", None, None), (21, "G", "old", None, None),
+            (30, "D", "DEF", None, None),
+        ],
+        "node_id long, class string, rdfs_label string, uri string, "
+        "props map<string,string>",
+    )
+    # both G values hang off the SAME D key value for the same S row
+    edges = spark.createDataFrame(
+        [(10, "HAS", 20), (10, "HAS", 21), (20, "DEF", 30), (21, "DEF", 30)],
+        "src long, rel_type string, dst long",
+    )
+    m = MetadataModel()
+    m.create_related_classes_from_list([["S", "G", "HAS"], ["G", "D", "DEF"]])
+    dp = DataProvider(spark, m, nodes, edges)
+    got = dp.get_data(
+        ["S", "G", "D"],
+        rels=[{"from": "S", "to": "G", "type": "HAS"},
+              {"from": "G", "to": "D", "type": "DEF"}],
+        labels_to_pack={"G": "D"},
+    )
+    rows = {r["S"]: dict(r["G_map"]) for r in got.collect()}
+    # sorted entries ('DEF','old') > ('DEF','young') -> 'young' < 'old' …
+    # max value for key DEF is 'young' ( 'young' > 'old' lexicographically )
+    assert rows == {"s1": {"DEF": "young"}}
+
+
+def test_near_dup_rejects_short_vectors(spark):
+    from tab2neo_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 16), (2, [0.2] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="num_bits"):
+        embedding_near_dup_pairs(emb, "embedding", "vec_id",
+                                 threshold=0.9, num_bits=32, bands=4)
+
+
+def test_bare_incl_null_condition(spark):
+    from tab2neo_spark.operators.predicates import apply_where_map
+
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "c")],
+                               "id long, v string")
+    only_null = apply_where_map(df, {"v": {"incl_null": True}})
+    assert [r["id"] for r in only_null.collect()] == [2]
+    not_null = apply_where_map(df, {"v": {"incl_null": False}})
+    assert sorted(r["id"] for r in not_null.collect()) == [1, 3]
