@@ -791,14 +791,14 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-dedup capstone: minhash pairs -> connected components ->
-    (doc_id, canonical_id) for every document (keep-one-per-cluster).
-    Gated on a deterministic 300-doc subset: the templated synthetic docs
-    are so densely near-duplicated that the ORACLE's transitive closure
-    (not the engine) dominates beyond that — the engine path is timed at
-    full sf0.1 in BENCH notes."""
+    (doc_id, canonical_id) for every document (keep-one-per-cluster), at
+    FULL sf. The oracle is a driver-side union-find over the identical
+    DuckDB-verified pair set rendered as VALUES (the gazetteer pattern) —
+    a recursive-CTE closure blows up on the densely near-duplicated
+    synthetic corpus, the engine's hash-min + pointer jumping does not."""
     from tab2neo_spark.operators.dedup import dedup_keep_canonical
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = _t(spark, sf_dir, "documents")
     return dedup_keep_canonical(docs, "text", "doc_id", k=1, num_hashes=8,
                                 bands=4, threshold=0.7)
 
@@ -1197,6 +1197,95 @@ def _canon_values() -> str:
     return f"(VALUES {rows}) AS t(surface, canonical)"
 
 
+# shared CTE pipeline: minhash-LSH candidates + exact-Jaccard verification
+# (k=1 shingles, 8 hashes, 4 bands — the same knobs as the engine calls)
+_DEDUP_CTES = """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, w AS shingle
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+              FROM documents)
+        WHERE w <> ''
+    ),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min(md5(shingle || '#' || seed)) AS minhash
+        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, (seed // 2)::INT AS band,
+               md5(string_agg(minhash, '|' ORDER BY seed, minhash)) AS band_val
+        FROM sig GROUP BY doc_id, (seed // 2)::INT
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.a, c.b, count(*) AS common
+        FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+        GROUP BY c.a, c.b
+    )
+"""
+
+_canon_values_cache: dict[str, str] = {}
+
+
+def _dedup_canonical_values() -> str:
+    """Driver-side union-find oracle for ``dedup_canonical`` (VERDICT r2,
+    Next round #4): DuckDB independently computes the verified near-dup
+    pairs (the ``dedup_minhash_verified`` pipeline), a Python union-find
+    closes them into components (min id = canonical), and the mapping is
+    rendered as an inline VALUES relation — the gazetteer pattern. A
+    recursive-CTE closure is quadratic on the densely near-duplicated
+    synthetic corpus; union-find is near-linear, so the gate runs at FULL
+    sf with no doc_id subset."""
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf in _canon_values_cache:
+        return _canon_values_cache[sf]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    pairs = con.execute(
+        _DEDUP_CTES
+        + """
+        SELECT a, b FROM common
+        JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
+        WHERE common * 1.0 / (na.n + nb.n - common) >= 0.7
+        """
+    ).fetchall()
+    ids = [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()]
+    con.close()
+
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller -> every root IS its
+            # component's min id, matching keep-canonical semantics
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rows = ", ".join(f"({i}, {find(i)})" for i in sorted(ids))
+    out = f"(VALUES {rows}) AS t(doc_id, canonical_id)"
+    _canon_values_cache[sf] = out
+    return out
+
+
 def _vec16_sql(key_expr: str) -> str:
     """DuckDB expression reproducing kg/link._hash_vec's UNnormalized
     16-dim md5 embedding (cosine is normalization-invariant): value i comes
@@ -1299,87 +1388,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT string_agg(DISTINCT l_returnflag, '|' ORDER BY l_returnflag) FROM lineitem) AS returnflags,
                    (SELECT string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) FROM lineitem) AS linestatuses
         """,
-        "dedup_minhash_verified": """
-            WITH sh AS (
-                SELECT DISTINCT doc_id, w AS shingle
-                FROM (SELECT doc_id,
-                             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
-                      FROM documents)
-                WHERE w <> ''
-            ),
-            seeds AS (SELECT unnest(range(8)) AS seed),
-            sig AS (
-                SELECT doc_id, seed, min(md5(shingle || '#' || seed)) AS minhash
-                FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
-            ),
-            banded AS (
-                SELECT doc_id, (seed // 2)::INT AS band,
-                       md5(string_agg(minhash, '|' ORDER BY seed, minhash)) AS band_val
-                FROM sig GROUP BY doc_id, (seed // 2)::INT
-            ),
-            cand AS (
-                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                FROM banded x JOIN banded y
-                  ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            common AS (
-                SELECT c.a, c.b, count(*) AS common
-                FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
-                GROUP BY c.a, c.b
-            )
+        "dedup_minhash_verified": _DEDUP_CTES + """
             SELECT a, b, round(common * 1.0 / (na.n + nb.n - common), 6) AS jaccard
             FROM common JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
             WHERE common * 1.0 / (na.n + nb.n - common) >= 0.7
         """,
-        "dedup_canonical": """
-            WITH RECURSIVE docs AS (
-                SELECT doc_id, text FROM documents WHERE doc_id < 300
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id, w AS shingle
-                FROM (SELECT doc_id,
-                             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
-                      FROM docs)
-                WHERE w <> ''
-            ),
-            seeds AS (SELECT unnest(range(8)) AS seed),
-            sig AS (
-                SELECT doc_id, seed, min(md5(shingle || '#' || seed)) AS minhash
-                FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
-            ),
-            banded AS (
-                SELECT doc_id, (seed // 2)::INT AS band,
-                       md5(string_agg(minhash, '|' ORDER BY seed, minhash)) AS band_val
-                FROM sig GROUP BY doc_id, (seed // 2)::INT
-            ),
-            cand AS (
-                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                FROM banded x JOIN banded y
-                  ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            common AS (
-                SELECT c.a, c.b, count(*) AS common
-                FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
-                GROUP BY c.a, c.b
-            ),
-            pairs AS (
-                SELECT a, b FROM common
-                JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
-                WHERE common * 1.0 / (na.n + nb.n - common) >= 0.7
-            ),
-            sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
-            reach(u, v) AS (
-                SELECT u, v FROM sym
-                UNION
-                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-            ),
-            comp AS (
-                SELECT u AS doc_id, least(u, min(v)) AS canonical FROM reach GROUP BY u
-            )
-            SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id
-            FROM docs d LEFT JOIN comp c USING (doc_id)
+        "dedup_canonical": f"""
+            SELECT doc_id, canonical_id FROM {_dedup_canonical_values()}
         """,
         "simhash_pairs": """
             WITH tok AS (

@@ -47,15 +47,22 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = verts.count()
-    outdeg = e.groupBy(F.col("esrc").alias("osrc")).agg(
-        F.count("*").alias("outdeg")
+    # out-degree is loop-invariant: join it onto the edge list ONCE and
+    # checkpoint, so each round pays one join + one partial-agg groupBy —
+    # not a recomputed degree aggregation + second join per iteration
+    e_od = (
+        e.join(
+            e.groupBy(F.col("esrc").alias("osrc")).agg(F.count("*").alias("outdeg")),
+            F.col("esrc") == F.col("osrc"),
+        )
+        .select("esrc", "edst", "outdeg")
+        .localCheckpoint(eager=True)
     )
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e["esrc"] == ranks["id"], "inner")
-            .join(outdeg, F.col("esrc") == F.col("osrc"), "inner")
+            e_od.join(ranks, e_od["esrc"] == ranks["id"], "inner")
             .select(
                 F.col("edst").alias("id"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),

@@ -126,10 +126,13 @@ class GraphStore:
         t0 = time.time()
         out = df.withColumn("run_id", F.lit(run_id))
         path = self.path(table)
+        n_pruned: int | None = None
 
         if dedup_key and os.path.isdir(path):
-            existing = self.spark.read.parquet(path).select(*dedup_key).distinct()
-            out = out.join(existing, dedup_key, "left_anti")
+            existing, n_pruned = self._existing_for_dedup(path, out, partition_by)
+            out = out.join(
+                existing.select(*dedup_key).distinct(), dedup_key, "left_anti"
+            )
 
         # lineage WITHOUT a second pass: the row count rides on the write
         # itself via df.observe (one job, one scan — a pre-write
@@ -158,12 +161,47 @@ class GraphStore:
             "table": table,
             "row_count": row_count,
             "partitions": hist,
+            "dedup_scan_partitions": n_pruned,
             "wall_s": round(time.time() - t0, 3),
             "status": "done",
             "ts": time.time(),
         }
         self.write_checkpoint(run_id, stage, payload)
         return payload
+
+    def _existing_for_dedup(
+        self, path: str, batch, partition_by: list[str] | None
+    ) -> tuple[DataFrame, int | None]:
+        """Existing-table read for the keyed upsert's anti-join, PRUNED to
+        the partitions the incoming batch touches. Without this, every
+        incremental write re-reads the whole target table — a full-table
+        scan per append at 100 TB. The partition-value discovery is one
+        extra job over the batch projected to the partition columns
+        (low-cardinality by design: class/rel_type/pred), and the isin
+        predicate reaches the parquet scan as PartitionFilters.
+
+        CONTRACT: valid because every dedup key determines its partition
+        columns (node_id = xxhash64(class, key) embeds class; edge and
+        triple keys contain rel_type/pred outright) — a duplicate key can
+        only ever live in a partition the batch also touches.
+
+        Returns (dataframe, number of partitions scanned | None if
+        unpartitioned/unprunable)."""
+        existing = self.spark.read.parquet(path)
+        parts = [p for p in (partition_by or []) if p in batch.columns]
+        if not parts:
+            return existing, None
+        values = batch.select(*parts).distinct().collect()
+        pred = None
+        for row in values:
+            conj = None
+            for p in parts:
+                eq = F.col(p).eqNullSafe(F.lit(row[p]))
+                conj = eq if conj is None else conj & eq
+            pred = conj if pred is None else pred | conj
+        if pred is None:  # empty batch: nothing can collide
+            return existing.filter(F.lit(False)), 0
+        return existing.filter(pred), len(values)
 
     @staticmethod
     def _parquet_files(path: str) -> set[str]:

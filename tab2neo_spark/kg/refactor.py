@@ -372,16 +372,42 @@ class RefactorEngine:
         table_class: str,
         domain: str | None = None,
         terms: DataFrame | None = None,
+        reify_rows: bool = False,
     ) -> RefactorResult:
-        """R9: plan -> extract -> link -> is_a (-> terms), one lazy DAG."""
+        """R9: plan -> extract -> link -> is_a (-> terms), one lazy DAG.
+
+        ``reify_rows`` is the reference's ``schema_CLASS`` mode
+        (model_applier.py mode flag; exercised by
+        tests_model_manager/test_create_model_from_data.py): each source
+        row becomes a node of ``table_class``, so model relationships
+        declared FROM the table class (``create_model_from_data``'s star
+        schema) link row nodes to their extracted entities and the
+        readback can include the table class itself."""
         domain = domain or table_class
         specs = plan_extraction(self.model, table_class)
         if not specs:
             raise ValueError(f"no extraction specs for table class {table_class!r}")
         res = self.extract_class_entities(df, specs, domain)
-        edges = res.edges.unionByName(self.link_classes(res.row_map)).unionByName(
-            self.is_a_edges(res.row_map)
+        nodes, row_map = res.nodes, res.row_map
+        if reify_rows:
+            row_ids = row_map.select("row_id").distinct()
+            nodes = nodes.unionByName(row_ids.select(
+                F.col("row_id").alias("node_id"),
+                F.lit(table_class).alias("class"),
+                F.col("row_id").cast("string").alias("rdfs_label"),
+                F.lit(None).cast("string").alias("uri"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+            ))
+            # row nodes join the co-membership map -> link_classes emits
+            # the table->entity edges in the same single self-join
+            row_map = row_map.unionByName(row_ids.select(
+                "row_id",
+                F.lit(table_class).alias("class"),
+                F.col("row_id").alias("node_id"),
+            ))
+        edges = res.edges.unionByName(self.link_classes(row_map)).unionByName(
+            self.is_a_edges(row_map)
         )
         if terms is not None:
-            edges = edges.unionByName(self.link_to_terms(res.nodes, terms))
-        return RefactorResult(nodes=res.nodes, edges=edges, row_map=res.row_map, specs=specs)
+            edges = edges.unionByName(self.link_to_terms(nodes, terms))
+        return RefactorResult(nodes=nodes, edges=edges, row_map=row_map, specs=specs)

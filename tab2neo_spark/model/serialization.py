@@ -19,53 +19,102 @@ from tab2neo_spark.model.metadata import MetadataModel, TermSpec
 # -- LinkML ------------------------------------------------------------------
 
 
-def export_model_to_linkml(model: MetadataModel, schema_id: str = "tab2neo_spark") -> dict:
-    """MetadataModel -> LinkML-shaped dict (classes with attributes =
-    outgoing relationships; is_a = SUBCLASS_OF)."""
-    parents = dict(model.subclass_of)
-    classes: dict[str, dict] = {}
-    for label, spec in model.classes.items():
-        entry: dict = {"description": f"class {label}"}
-        if spec.short_label:
-            entry["aliases"] = [spec.short_label]
-        if label in parents:
-            entry["is_a"] = parents[label]
-        attrs = {}
-        outgoing = [r for r in model.relationships if r.from_label == label]
-        type_counts: dict[str, int] = {}
-        for rel in outgoing:
-            type_counts[rel.relationship_type] = type_counts.get(rel.relationship_type, 0) + 1
-        for rel in outgoing:
-            # attribute names must be unique per class; a rel type reused
-            # toward several ranges (e.g. Page-MENTIONS->{4 classes}) gets
-            # a range-suffixed name with the true type kept in annotations
-            key = (
-                rel.relationship_type
-                if type_counts[rel.relationship_type] == 1
-                else f"{rel.relationship_type}__{rel.to_label}"
-            )
-            attrs[key] = {
-                "range": rel.to_label,
-                "annotations": {"relationship_type": rel.relationship_type},
+def export_model_to_linkml(model: MetadataModel) -> dict:
+    """MetadataModel -> the reference's LinkML dict shape, field for field
+    (model_manager.py:1291-1337; golden fixture
+    tests_model_manager/test_linkml.py:11-66):
+
+    - ``classes``: LIST ordered by label; each entry carries the non-null
+      class props (label, short_label, derived, data_type) plus
+      ``attributes``: one ``{alias, name, range}`` per outgoing
+      relationship ordered by (range, alias), then — unless the class is
+      create-mode — a final ``rdfs:label`` attribute whose range is
+      '<label> CT' when the class has controlled terms, else its data_type
+      (default 'string');
+    - ``enums``: ``{'<label> CT': {permissible_values: {rdfs_label:
+      {description: '<Codelist Code>_<Term Code>'}}}}`` for classes with
+      terms; omitted entirely when empty.
+
+    SUBCLASS_OF is not represented — the reference's export is lossy the
+    same way."""
+    with_ct = {t.class_label for t in model.terms}
+    classes: list[dict] = []
+    for label in sorted(model.classes):
+        spec = model.classes[label]
+        entry: dict = {"label": label}
+        if spec.short_label is not None:
+            entry["short_label"] = spec.short_label
+        if spec.derived:
+            entry["derived"] = spec.derived
+        if spec.data_type is not None:
+            entry["data_type"] = spec.data_type
+        attrs = [
+            {
+                "name": f"{label} {r.relationship_type}",
+                "alias": r.relationship_type,
+                "range": r.to_label,
             }
-        if attrs:
-            entry["attributes"] = attrs
-        classes[label] = entry
-    return {"id": schema_id, "name": schema_id, "classes": classes}
+            for r in sorted(
+                (r for r in model.relationships if r.from_label == label),
+                key=lambda r: (r.to_label, r.relationship_type),
+            )
+        ]
+        if not spec.create:
+            attrs.append({
+                "name": f"{label} rdfs:label",
+                "alias": "rdfs:label",
+                "range": f"{label} CT" if label in with_ct
+                         else (spec.data_type or "string"),
+            })
+        entry["attributes"] = attrs
+        classes.append(entry)
+    enums = {
+        f"{label} CT": {
+            "permissible_values": {
+                t.rdfs_label: {"description": f"{t.codelist_code}_{t.term_code}"}
+                for t in model.terms if t.class_label == label
+            }
+        }
+        for label in sorted(with_ct & set(model.classes))
+    }
+    res: dict = {"classes": classes}
+    if enums:
+        res["enums"] = enums
+    return res
 
 
 def create_model_from_linkml(linkml: dict) -> MetadataModel:
+    """Inverse (model_manager.py:1339-1374): classes from the class maps,
+    relationships ``[label, range, alias]`` for every non-rdfs:label
+    attribute, controlled terms from the enums' permissible values
+    (description = '<Codelist Code>_<Term Code>')."""
     m = MetadataModel()
-    classes = linkml.get("classes", {})
-    for label, entry in classes.items():
-        aliases = entry.get("aliases") or [None]
-        m.create_class(label, short_label=aliases[0])
-    for label, entry in classes.items():
-        if entry.get("is_a"):
-            m.create_subclass(entry["is_a"], label)
-        for attr_name, attr in (entry.get("attributes") or {}).items():
-            rel_type = (attr.get("annotations") or {}).get("relationship_type", attr_name)
-            m.create_relationship(label, attr["range"], rel_type)
+    for class_ in linkml.get("classes") or []:
+        entry = dict(class_)
+        attrs = entry.pop("attributes", [])
+        label = entry["label"]
+        m.create_class(
+            label,
+            **{k: v for k, v in entry.items()
+               if k in ("short_label", "data_type", "derived", "create")},
+        )
+        for attr in attrs:
+            if attr.get("alias") == "rdfs:label":
+                continue
+            m.create_relationship(label, attr["range"], attr.get("alias"))
+    ct = {
+        enum_name[: -len(" CT")]: [
+            {
+                "rdfs:label": lbl,
+                "Codelist Code": d["description"].split("_")[0],
+                "Term Code": d["description"].split("_")[1],
+            }
+            for lbl, d in (dct.get("permissible_values") or {}).items()
+        ]
+        for enum_name, dct in (linkml.get("enums") or {}).items()
+    }
+    if ct:
+        m.create_ct(ct, merge_on=["Codelist Code", "Term Code"])
     return m
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 
 MEDIA_META_SCHEMA = (
     "id string, n_bytes int, content_sha256 string, format string, "
-    "width int, height int"
+    "width int, height int, decoded boolean"
 )
 
 
@@ -98,21 +98,24 @@ def _nearest_resize(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     return arr[ys][:, xs]
 
 
-def _decode_dims(b: bytes) -> tuple[int, int]:
-    """(width, height). Real for netpbm; deterministic FAKE from the
-    content hash for codec-library formats (replace with
+def _decode_dims(b: bytes) -> tuple[int | None, int | None]:
+    """(width, height) — real for netpbm, ``(None, None)`` for formats this
+    container has no codec for. Downstream must be able to tell real
+    metadata from absent metadata, so codec-less formats report NULL dims
+    plus ``decoded = false``, never a fabricated value. Swap this for
     ``PIL.Image.open(io.BytesIO(b)).size`` in deployment — the signature
-    and all surrounding batch plumbing stay identical)."""
+    and all surrounding batch plumbing stay identical."""
     if b[:2] in (b"P5", b"P6"):
         arr, _ = netpbm_decode(b)
         return (arr.shape[1], arr.shape[0])
-    h = hashlib.sha256(b).digest()
-    return (64 + h[0] % 192, 64 + h[1] % 192)
+    return (None, None)
 
 
 def media_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
-    """Size, content hash, sniffed container format, decoded dimensions
-    (real for netpbm, stub-fake for codec-library formats) per media row."""
+    """Size, content hash, sniffed container format, decoded dimensions per
+    media row. Dimensions are REAL (netpbm codec) or NULL with
+    ``decoded = false`` when the container lacks the format's codec —
+    never fabricated."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -129,9 +132,10 @@ def media_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                     ),
                 }
             )
-            dims = blobs.map(lambda b: _decode_dims(bytes(b)) if b else (0, 0))
-            out["width"] = dims.map(lambda t: t[0]).astype("int32")
-            out["height"] = dims.map(lambda t: t[1]).astype("int32")
+            dims = blobs.map(lambda b: _decode_dims(bytes(b)) if b else (None, None))
+            out["width"] = dims.map(lambda t: t[0]).astype("Int32")
+            out["height"] = dims.map(lambda t: t[1]).astype("Int32")
+            out["decoded"] = out["width"].notna()
             yield out
 
     return df.select(id_col, bin_col).mapInPandas(batches, MEDIA_META_SCHEMA)

@@ -12,15 +12,69 @@ from tab2neo_spark.model.serialization import (
 )
 
 
+def test_linkml_golden_shape():
+    """Byte-for-byte the reference's golden fixture
+    (tests_model_manager/test_linkml.py:11-96): same model DDL in, same
+    LinkML dict out — catches any field-name drift."""
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    m = MetadataModel()
+    m.create_class("Subject", short_label="USUBJID")
+    m.create_class("Sex", short_label="SEX", data_type="string")
+    m.create_class("Age", short_label="AGE", data_type="integer")
+    m.create_relationship("Subject", "Sex", "S Sex")
+    m.create_relationship("Subject", "Age", "S Age")
+    m.create_ct({
+        "Sex": [
+            {"rdfs:label": "M", "Codelist Code": "Cxxxx1", "Term Code": "Cyyyyy1"},
+            {"rdfs:label": "F", "Codelist Code": "Cxxxx1", "Term Code": "Cyyyyy2"},
+        ]
+    })
+    golden = {
+        "classes": [
+            {"label": "Age", "short_label": "AGE", "data_type": "integer",
+             "attributes": [
+                 {"name": "Age rdfs:label", "alias": "rdfs:label",
+                  "range": "integer"}]},
+            {"label": "Sex", "short_label": "SEX", "data_type": "string",
+             "attributes": [
+                 {"name": "Sex rdfs:label", "alias": "rdfs:label",
+                  "range": "Sex CT"}]},
+            {"label": "Subject", "short_label": "USUBJID",
+             "attributes": [
+                 {"name": "Subject S Age", "alias": "S Age", "range": "Age"},
+                 {"name": "Subject S Sex", "alias": "S Sex", "range": "Sex"},
+                 {"name": "Subject rdfs:label", "alias": "rdfs:label",
+                  "range": "string"}]},
+        ],
+        "enums": {"Sex CT": {"permissible_values": {
+            "M": {"description": "Cxxxx1_Cyyyyy1"},
+            "F": {"description": "Cxxxx1_Cyyyyy2"},
+        }}},
+    }
+    assert export_model_to_linkml(m) == golden
+
+    # reimport (test_linkml.py:94-120): classes + reified rels + ordered CT
+    m2 = create_model_from_linkml(golden)
+    assert set(m2.classes) == {"Subject", "Sex", "Age"}
+    assert {(r.from_label, r.to_label, r.relationship_type)
+            for r in m2.relationships} == {
+        ("Subject", "Sex", "S Sex"), ("Subject", "Age", "S Age")}
+    # NEXT chain M -> F derives from Order 1, 2
+    by_order = sorted(m2.terms, key=lambda t: t.order)
+    assert [t.rdfs_label for t in by_order] == ["M", "F"]
+
+
 def test_linkml_roundtrip():
     m = webtext_model()
     linkml = export_model_to_linkml(m)
-    assert linkml["classes"]["Operator"]["is_a"] == "Entity"
-    # MENTIONS is reused toward 4 ranges -> attribute names are suffixed
-    assert linkml["classes"]["Page"]["attributes"]["MENTIONS__Operator"]["range"] == "Operator"
+    by_label = {c["label"]: c for c in linkml["classes"]}
+    # MENTIONS toward 4 ranges -> 4 attribute entries, one per range
+    pg = [a for a in by_label["Page"]["attributes"] if a["alias"] == "MENTIONS"]
+    assert {a["range"] for a in pg} == {"Engine", "Operator", "Structure", "Concept"}
     m2 = create_model_from_linkml(linkml)
     assert set(m2.classes) == set(m.classes)
-    assert set(m2.subclass_of) == set(m.subclass_of)
+    # the reference's LinkML shape does not carry SUBCLASS_OF (lossy there too)
     assert {(r.from_label, r.to_label, r.relationship_type) for r in m2.relationships} == {
         (r.from_label, r.to_label, r.relationship_type) for r in m.relationships
     }

@@ -270,3 +270,31 @@ def test_link_via_is_a_matches_link_classes(spark, record_df, model):
     # anti-join guard: re-linking an already-linked graph adds nothing
     again = eng.link_via_is_a(resh.nodes, resh.edges)
     assert again.count() == 0
+
+
+def test_create_model_from_data_end_to_end(spark, tmp_path):
+    """The reference's test_create_model_from_data loop verbatim: CSV ->
+    star schema from the data's columns -> refactor_all -> get_data
+    readback over every column class == the source table
+    (tests_model_manager/test_create_model_from_data.py:33-50, fixture
+    create_model_from_data.csv incl. a space-named column)."""
+    import os
+
+    from tab2neo_spark.sources.loaders import load_file, sanitize_columns
+
+    p = tmp_path / "create_model_from_data.csv"
+    p.write_text("A,B,Name with space\n1,2,3\n4,5,6\n")
+    df = load_file(spark, str(tmp_path), "create_model_from_data.csv")
+    data_cols = [c for c in df.columns
+                 if c not in ("_domain_", "_filename_", "_folder_")]
+    src = sanitize_columns(df.select(*data_cols))
+
+    m = MetadataModel.from_data(src, "CREATE_MODEL_FROM_DATA")
+    res = RefactorEngine(spark, m).refactor_all(
+        src, "CREATE_MODEL_FROM_DATA", reify_rows=True
+    )
+    dp = DataProvider(spark, m, res.nodes, res.edges)
+    out = dp.get_data(["CREATE_MODEL_FROM_DATA"] + list(src.columns))
+    got = out.drop("CREATE_MODEL_FROM_DATA")
+    want = {tuple(str(v) for v in r) for r in src.collect()}
+    assert {tuple(r) for r in got.select(*src.columns).collect()} == want

@@ -112,3 +112,37 @@ def test_bare_incl_null_condition(spark):
     assert [r["id"] for r in only_null.collect()] == [2]
     not_null = apply_where_map(df, {"v": {"incl_null": False}})
     assert sorted(r["id"] for r in not_null.collect()) == [1, 3]
+
+
+def test_upsert_anti_join_scan_is_partition_pruned(spark, tmp_path):
+    """Incremental keyed upserts must not re-read the whole target table:
+    when the batch touches a subset of partitions, the existing-keys
+    anti-join scan carries PartitionFilters for exactly those partitions,
+    and dedup semantics inside them are unchanged."""
+    from tab2neo_spark.kg.materialize import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    schema = "node_id long, class string, rdfs_label string"
+    first = spark.createDataFrame(
+        [(1, "A", "a1"), (2, "A", "a2"), (3, "B", "b1")], schema
+    )
+    store.write_stage(first, "nodes", "r1", "s1",
+                      partition_by=["class"], dedup_key=["node_id"])
+
+    # batch touching ONLY class A: one dup (node 1) + one new row
+    batch = spark.createDataFrame([(1, "A", "a1"), (4, "A", "a4")], schema)
+    existing, n = store._existing_for_dedup(
+        store.path("nodes"), batch, ["class"]
+    )
+    assert n == 1
+    plan = existing._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "class" in plan.split("PartitionFilters")[1][:120]
+    # the pruned read sees only class A rows
+    assert {r["class"] for r in existing.collect()} == {"A"}
+
+    payload = store.write_stage(batch, "nodes", "r2", "s2",
+                                partition_by=["class"], dedup_key=["node_id"])
+    assert payload["dedup_scan_partitions"] == 1
+    assert payload["row_count"] == 1  # dup dropped, new row written
+    got = {(r["node_id"], r["class"]) for r in store.read("nodes").collect()}
+    assert got == {(1, "A"), (2, "A"), (3, "B"), (4, "A")}

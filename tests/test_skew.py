@@ -213,3 +213,40 @@ def test_tfidf_top_terms_hand_checked(spark):
     # idf of 'common' (df=3, N=3) is ln(1)=0 -> score exactly 0
     all3 = tfidf_top_terms(df, "text", "doc_id", k=2).collect()
     assert all(r["score"] == 0.0 for r in all3 if r["term"] == "common")
+
+
+def test_pagerank_10x_scale_matches_python_oracle(spark):
+    """Scale hardening (round-3): a 10x-edge deterministic pseudo-random
+    graph — the distributed loop must match an independent pure-Python
+    power iteration exactly (efter det_round), with the loop-invariant
+    (edges, outdeg) persisted once."""
+    from tab2neo_spark.kg.analytics import pagerank
+    from tab2neo_spark.operators.numeric import det_round  # noqa: F401
+
+    n_edges, n_nodes = 5000, 400
+    rows = [((i * 131) % n_nodes, (i * i * 31 + 7) % n_nodes)
+            for i in range(n_edges)]
+    rows = sorted(set((a, b) for a, b in rows if a != b))
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+
+    # independent reference implementation
+    import math
+
+    verts = sorted({a for a, _ in rows} | {b for _, b in rows})
+    outdeg: dict[int, int] = {}
+    for a, _ in rows:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    n = len(verts)
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(4):
+        nxt = {v: (1 - 0.85) / n for v in verts}
+        for a, b in rows:
+            nxt[b] += 0.85 * rank[a] / outdeg[a]
+        rank = nxt
+    assert len(got) == n
+    # got is det_round'ed at 1e-6; distributed float summation order can
+    # differ from the serial loop by ~1e-12, so compare to the UNROUNDED
+    # reference within half a rounding step (+ float noise headroom)
+    for v in verts:
+        assert abs(got[v] - rank[v]) <= 7.5e-7, (v, got[v], rank[v])

@@ -78,6 +78,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # data-derived oracles (dedup_canonical's union-find VALUES) must read
+    # the SAME sf dir the queries run against
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from tab2neo_spark.session import get_spark
 
