@@ -557,6 +557,136 @@ class MetadataModel:
                     added += 1
         return added
 
+    # -- schema query getters (model_manager.py:396-545) ----------------------
+
+    def get_all_classes(self) -> list[str]:
+        """model_manager.py:396-398."""
+        return [c["Class"] for c in self.get_all_classes_with_nodeids()]
+
+    def get_all_classes_with_nodeids(
+        self, include_id: bool = False, sort: bool = True
+    ) -> list[dict]:
+        """``[{'Class': label, 'short_label': …[, '_id_Class': int]}]``
+        (model_manager.py:400-422). The id is the catalog's deterministic
+        64-bit md5 id (stable across runs — unlike Neo4j's internal ids,
+        which the reference returns)."""
+        import hashlib as _hl
+
+        out = [
+            {"Class": lb, "short_label": spec.short_label}
+            for lb, spec in self.classes.items()
+        ]
+        if sort:
+            out.sort(key=lambda d: d["Class"])
+        if include_id:
+            for d in out:
+                d["_id_Class"] = int.from_bytes(
+                    _hl.md5(f"Class:{d['Class']}".encode()).digest()[:8], "big"
+                ) >> 1
+        return out
+
+    def get_all_classes_props(self, props: list[str]) -> list[dict]:
+        """Per-class property projection (model_manager.py:424-446)."""
+        assert len(props) > 0, "Must specify at least one property to return!"
+        assert len(props) == len(set(props)), "Specified props must not contain duplicates!"
+        return [
+            {p: getattr(spec, p, None) for p in props}
+            for spec in self.classes.values()
+        ]
+
+    def get_subclasses_where(self, where=None, identifier: str = "label") -> list[dict]:
+        """``[{'parent':…, 'child':…, 'conditions':…}]``; ``where`` is a
+        predicate over (parent_label, child_label) — the Python analog of
+        the reference's Cypher WHERE string (model_manager.py:448-457)."""
+
+        def ident(lb: str):
+            c = self.classes.get(lb)
+            return getattr(c, identifier, lb) if c else lb
+
+        return [
+            {"parent": ident(p), "child": ident(c),
+             "conditions": self.subclass_conditions.get((c, p))}
+            for c, p in self.subclass_of
+            if where is None or where(p, c)
+        ]
+
+    def get_rels_where(self, where=None, return_prop: str = "label") -> list[dict]:
+        """All schema relationships, optionally filtered
+        (model_manager.py:459-478). ``where`` is a predicate over
+        (from_spec, to_spec, rel_spec) — the Python analog of the
+        reference's Cypher WHERE string (which cannot be parsed here)."""
+
+        def ident(lb: str):
+            c = self.classes.get(lb)
+            return getattr(c, return_prop, lb) if c else lb
+
+        return [
+            {"from": ident(r.from_label), "to": ident(r.to_label),
+             "type": r.relationship_type, "optional": r.optional or None}
+            for r in self.relationships
+            if where is None
+            or where(self.classes.get(r.from_label), self.classes.get(r.to_label), r)
+        ]
+
+    def _vertical_family(self, label: str) -> set[str]:
+        """All classes on any leaf-to-root SUBCLASS_OF path through
+        ``label``'s descendants — the reference's c1low/c1high path-nodes
+        set (model_manager.py:516-545)."""
+        closure = self.subclass_closure()
+        has_child = {p for _, p in self.subclass_of}
+        desc = {c for c, a, _ in closure if a == label}
+        leaves = {c for c in desc if c not in has_child} or {label}
+        fam: set[str] = set()
+        for leaf in leaves:
+            fam |= {a for c, a, _ in closure if c == leaf}
+        return fam
+
+    def get_rels_from_labels(self, labels: list[str]) -> list[dict]:
+        """Schema relationships touching the vertical families of the given
+        labels, (from, to, type)-sorted (model_manager.py:480-505)."""
+        fam: set[str] = set()
+        for lb in labels:
+            fam |= self._vertical_family(lb)
+        rels = [
+            {"from": r.from_label, "to": r.to_label,
+             "type": r.relationship_type, "optional": r.optional or None}
+            for r in self.relationships
+            if r.from_label in fam or r.to_label in fam
+        ]
+        rels.sort(key=lambda d: (d["from"], d["to"], d["type"] or ""))
+        return rels
+
+    @staticmethod
+    def get_labels_from_rels_list(rels_list: list[dict]) -> list[str]:
+        """Distinct from/to labels in first-seen order (model_manager.py:507-514)."""
+        labels: list[str] = []
+        for rel in rels_list:
+            for key in ("from", "to"):
+                if rel.get(key) not in labels:
+                    labels.append(rel.get(key))
+        return labels
+
+    def get_rels_btw2(self, label1: str, label2: str, identifier: str = "label") -> list[dict]:
+        """Schema relationships between the vertical families of two
+        classes, either direction (model_manager.py:516-545)."""
+        l1 = self._class_by_identifier(label1, identifier)
+        l2 = self._class_by_identifier(label2, identifier)
+        fam1, fam2 = self._vertical_family(l1), self._vertical_family(l2)
+
+        def ident(lb: str):
+            c = self.classes.get(lb)
+            return getattr(c, identifier, lb) if c else lb
+
+        rels = [
+            {"from": ident(r.from_label), "to": ident(r.to_label),
+             "type": r.relationship_type}
+            for r in self.relationships
+            if (r.from_label in fam1 and r.to_label in fam2)
+            or (r.from_label in fam2 and r.to_label in fam1)
+        ]
+        rels.sort(key=lambda d: (d["from"], d["to"], d["type"] or ""))
+        return rels
+
     # -- closure & inference -------------------------------------------------
 
     def subclass_closure(self) -> set[tuple[str, str, int]]:

@@ -288,3 +288,117 @@ def test_remove_auxiliary_term_labels(spark):
     )
     kept = eng.remove_auxiliary_term_labels(labels, edges)
     assert [tuple(r) for r in kept.collect()] == [(1, "Extracted")]
+
+
+def _family_model():
+    """The test_infer_rels.json shape (tests_model_manager/test_mm2.py:182-248):
+    Subject SUBCLASS_OF Person, Exposure Name of Treatment SUBCLASS_OF
+    Name of Treatment; one rel per hierarchy level."""
+    m = MetadataModel()
+    for lb, sl in [("Person", "PERSON"), ("Subject", "USUBJID"),
+                   ("Name of Treatment", "--TRT"),
+                   ("Exposure Name of Treatment", "EXTRT")]:
+        m.create_class(lb)
+        m.set_short_label(lb, sl)
+    m.create_subclass("Person", "Subject")
+    m.create_subclass("Name of Treatment", "Exposure Name of Treatment")
+    m.create_relationship("Person", "Name of Treatment", "HAS")
+    m.create_relationship("Subject", "Exposure Name of Treatment", "S_EXTRT")
+    return m
+
+
+def test_get_all_classes_and_props():
+    """Mirrors test_mm2.py:146-180."""
+    m = MetadataModel()
+    for lb in ["G", "S", "K"]:
+        m.create_class(lb)
+    assert m.get_all_classes_with_nodeids() == [
+        {"Class": "G", "short_label": None},
+        {"Class": "K", "short_label": None},
+        {"Class": "S", "short_label": None},
+    ]
+    for entry in m.get_all_classes_with_nodeids(include_id=True):
+        assert isinstance(entry["_id_Class"], int)
+        assert entry["Class"] in ["G", "S", "K"]
+    assert m.get_all_classes() == ["G", "K", "S"]
+
+    m2 = MetadataModel()
+    for lb in ["A", "B", "C"]:
+        m2.create_class(lb)
+        m2.set_short_label(lb, lb.lower())
+    got = sorted(m2.get_all_classes_props(["short_label"]),
+                 key=lambda d: d["short_label"])
+    assert got == [{"short_label": "a"}, {"short_label": "b"},
+                   {"short_label": "c"}]
+    with pytest.raises(AssertionError):
+        m2.get_all_classes_props([])
+    with pytest.raises(AssertionError):
+        m2.get_all_classes_props(["short_label", "short_label"])
+
+
+def test_get_rels_where():
+    """Mirrors test_mm2.py:182-206 with the Cypher WHERE string expressed
+    as a Python predicate."""
+    m = _family_model()
+    res1 = m.get_rels_where()
+    assert res1 == [
+        {"from": "Person", "to": "Name of Treatment", "type": "HAS",
+         "optional": None},
+        {"from": "Subject", "to": "Exposure Name of Treatment",
+         "type": "S_EXTRT", "optional": None},
+    ]
+    res2 = m.get_rels_where(lambda f, t, r: f.label == "Person")
+    assert res2 == [{"from": "Person", "to": "Name of Treatment",
+                     "type": "HAS", "optional": None}]
+    res3 = m.get_rels_where(lambda f, t, r: f.short_label == "PERSON",
+                            return_prop="short_label")
+    assert res3 == [{"from": "PERSON", "to": "--TRT", "type": "HAS",
+                     "optional": None}]
+
+
+def test_get_rels_btw2():
+    """Mirrors test_mm2.py:208-248: every label pair across the two
+    hierarchies finds BOTH rels (through the vertical families), incl. the
+    short_label identifier."""
+    m = _family_model()
+    both = [
+        {"from": "Person", "to": "Name of Treatment", "type": "HAS"},
+        {"from": "Subject", "to": "Exposure Name of Treatment",
+         "type": "S_EXTRT"},
+    ]
+    for a, b in [("Subject", "Exposure Name of Treatment"),
+                 ("Subject", "Name of Treatment"),
+                 ("Person", "Exposure Name of Treatment"),
+                 ("Person", "Name of Treatment")]:
+        assert m.get_rels_btw2(a, b) == both, (a, b)
+    assert m.get_rels_btw2("USUBJID", "EXTRT", identifier="short_label") == [
+        {"from": "PERSON", "to": "--TRT", "type": "HAS"},
+        {"from": "USUBJID", "to": "EXTRT", "type": "S_EXTRT"},
+    ]
+
+
+def test_get_rels_from_labels_and_inverse():
+    """Mirrors test_mm2.py:736-764."""
+    m = _family_model()
+    rels = m.get_rels_from_labels(["Subject"])
+    assert rels == [
+        {"from": "Person", "to": "Name of Treatment", "type": "HAS",
+         "optional": None},
+        {"from": "Subject", "to": "Exposure Name of Treatment",
+         "type": "S_EXTRT", "optional": None},
+    ]
+    assert m.get_labels_from_rels_list(rels) == [
+        "Person", "Name of Treatment", "Subject", "Exposure Name of Treatment"]
+
+
+def test_get_subclasses_where():
+    m = _family_model()
+    m.create_subclass("Person", "Employee", conditions={"on": "dept"})
+    got = m.get_subclasses_where()
+    assert {(d["parent"], d["child"]) for d in got} == {
+        ("Person", "Subject"), ("Name of Treatment", "Exposure Name of Treatment"),
+        ("Person", "Employee")}
+    cond = [d for d in got if d["child"] == "Employee"][0]["conditions"]
+    assert cond == {"on": "dept"}
+    only = m.get_subclasses_where(lambda p, c: p == "Person")
+    assert {d["child"] for d in only} == {"Subject", "Employee"}
