@@ -191,7 +191,14 @@ class GraphStore:
         parts = [p for p in (partition_by or []) if p in batch.columns]
         if not parts:
             return existing, None
-        values = batch.select(*parts).distinct().collect()
+        # cap the predicate size: partition columns are low-cardinality by
+        # design (class/rel_type/pred); if a caller partitions on a
+        # high-cardinality key, a thousands-branch OR would bloat the plan
+        # for little pruning benefit — fall back to the full read
+        limit = 256
+        values = batch.select(*parts).distinct().limit(limit + 1).collect()
+        if len(values) > limit:
+            return existing, None
         pred = None
         for row in values:
             conj = None

@@ -146,3 +146,39 @@ def test_upsert_anti_join_scan_is_partition_pruned(spark, tmp_path):
     assert payload["row_count"] == 1  # dup dropped, new row written
     got = {(r["node_id"], r["class"]) for r in store.read("nodes").collect()}
     assert got == {(1, "A"), (2, "A"), (3, "B"), (4, "A")}
+
+
+@pytest.mark.parametrize("tokens,budget,num_bands", [
+    ([50, 40, 30, 20, 10], 100, 4),          # boundary mid-list
+    ([10, 10, 10, 10, 10], 25, 4),           # all-equal: single-band path
+    ([100], 100, 4),                         # one row, prev=0 < budget
+    ([5, 5, 5], 0, 4),                       # zero budget -> nothing
+    ([1, 2, 3, 4, 5, 6, 7, 8], 1000, 4),     # budget exceeds total -> all
+    ([7, 7, 6, 6, 5, 5], 19, 2),             # ties straddling band edges
+    ([30, 1, 1, 1, 1, 1, 1, 1], 30, 3),      # first row exactly consumes it
+    ([2, 9, 4, 9, 2, 8, 1], 17, 8),          # more bands than distinct vals
+])
+def test_banded_budget_equals_exact_reference(spark, tokens, budget, num_bands):
+    """The banded sampler must reproduce the exact greedy-fill semantics
+    (admit iff preceding total < budget, order (tokens DESC, id)) on every
+    edge-case shape: band boundaries, ties, degenerate single-band, empty
+    and everything-admitted outcomes."""
+    from pyspark.sql import Window as W
+
+    from tab2neo_spark.operators.corpus import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    got = sorted(r["doc_id"] for r in sample_to_token_budget(
+        df, "doc_id", "n_tokens", budget=budget, num_bands=num_bands
+    ).collect())
+
+    # serial reference
+    order = sorted(enumerate(tokens), key=lambda p: (-p[1], p[0]))
+    prev, want = 0, []
+    for i, t in order:
+        if prev < budget:
+            want.append(i)
+        prev += t
+    assert got == sorted(want), (got, want)
