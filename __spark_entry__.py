@@ -1036,6 +1036,58 @@ def q_rels_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp.get_data(["MktGroup", "Nation"])  # rel inferred via propagation
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit (operators/decontam.py): 8-gram
+    digest collisions between the corpus and a 20-doc 'benchmark' slice —
+    broadcast digest probe, corpus text never shuffles."""
+    from tab2neo_spark.operators.decontam import ngram_collisions
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_doc"), "text"
+    )
+    return ngram_collisions(docs, bench, "text", "doc_id",
+                            bench_id_col="bench_doc", n=8)
+
+
+# deterministic PII suffix appended to each doc for the redaction gate —
+# single source of truth for the Spark expr AND the SQL oracle
+_PII_SUFFIX_SQL = (
+    "' contact doc' || doc_id || '@example.com at 10.0.' || (doc_id % 200) "
+    "|| '.7 call +1-555-123-4567'"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/cleaning.py): per-class match counts on the
+    original text + md5 of the fully redacted text. The synthetic PII
+    suffix makes every row carry exactly one email/phone/ipv4."""
+    from tab2neo_spark.operators.cleaning import pii_redact
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(f"text || {_PII_SUFFIX_SQL}")
+    )
+    out = pii_redact(docs, "text")
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.md5("redacted").alias("red_md5"),
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats (operators/cleaning.py) over a
+    line-ified view of the documents (periods -> newlines so the synthetic
+    single-line texts exercise the line-duplication rules)."""
+    from tab2neo_spark.operators.cleaning import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit("."), F.lit("\n"))
+    )
+    out = repetition_stats(docs, "text")
+    return out.select("doc_id", "dup_line_frac", "dup_line_char_frac",
+                      "top_word_frac")
+
+
 def q_where_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bare {'incl_null': bool} dialect (tests_query_builders/test_qb2.py:336)
     compiling to IS NULL / IS NOT NULL over a derived nullable column."""
@@ -1091,6 +1143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ct_ordering": q_ct_ordering,
         "rels_propagation": q_rels_propagation,
         "where_null": q_where_null,
+        "decontam": q_decontam,
+        "pii_redact": q_pii_redact,
+        "repetition": q_repetition,
         "kg_readback_packmap": q_kg_readback_packmap,
         # -- previously green (r1/r2), rotated to the back --------------------
         "kg_extract_text": q_kg_extract_text,
@@ -1284,6 +1339,24 @@ def _dedup_canonical_values() -> str:
     out = f"(VALUES {rows}) AS t(doc_id, canonical_id)"
     _canon_values_cache[sf] = out
     return out
+
+
+def _pii_oracle() -> str:
+    """Redaction oracle built from the SAME pattern dict the operator uses
+    (operators/cleaning.PII_PATTERNS) — counts on the original text, then
+    sequential global regexp_replace in dict order."""
+    from tab2neo_spark.operators.cleaning import PII_PATTERNS
+
+    red = "t"
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        p = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all(t, '{p}')) AS n_{name}")
+        red = f"regexp_replace({red}, '{p}', '<{name.upper()}>', 'g')"
+    return f"""
+        WITH d AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t FROM documents)
+        SELECT doc_id, {', '.join(counts)}, md5({red}) AS red_md5 FROM d
+    """
 
 
 def _vec16_sql(key_expr: str) -> str:
@@ -2022,5 +2095,57 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c_custkey, 'not_null' FROM customer
             WHERE nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+        """,
+        "decontam": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(ws) >= 8 THEN
+                        list_transform(range(1, len(ws) - 8 + 2),
+                            i -> md5(array_to_string(list_slice(ws, i, i + 7), ' ')))
+                    ELSE []::VARCHAR[] END)) AS digest
+                FROM w
+            ),
+            b AS (SELECT doc_id AS bench_id, digest FROM g WHERE doc_id < 20)
+            SELECT g.doc_id AS corpus_id, b.bench_id, count(*) AS n_shared
+            FROM g JOIN b USING (digest)
+            GROUP BY 1, 2
+        """,
+        "pii_redact": _pii_oracle(),
+        "repetition": """
+            WITH d AS (SELECT doc_id, replace(text, '.', chr(10)) AS t FROM documents),
+            l AS (
+                SELECT doc_id,
+                    list_filter(list_transform(string_split(t, chr(10)),
+                                               s -> trim(s)), s -> s <> '') AS lines,
+                    list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                                x -> x <> '') AS ws
+                FROM d
+            ),
+            tw AS (
+                SELECT doc_id, max(cnt) AS topc FROM (
+                    SELECT doc_id, w, count(*) AS cnt
+                    FROM (SELECT doc_id, unnest(ws) AS w FROM l)
+                    GROUP BY doc_id, w
+                ) GROUP BY doc_id
+            ),
+            m AS (
+                SELECT doc_id, len(lines) AS nl, len(list_distinct(lines)) AS ndl,
+                    coalesce(list_sum(list_transform(lines, s -> length(s))), 0) AS tc,
+                    coalesce(list_sum(list_transform(list_distinct(lines),
+                                                     s -> length(s))), 0) AS dc,
+                    len(ws) AS nw
+                FROM l
+            )
+            SELECT m.doc_id,
+                floor((CASE WHEN nl > 0 THEN 1.0 - ndl * 1.0 / nl ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS dup_line_frac,
+                floor((CASE WHEN tc > 0 THEN (tc - dc) * 1.0 / tc ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS dup_line_char_frac,
+                floor((CASE WHEN nw > 0 THEN tw.topc * 1.0 / nw ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS top_word_frac
+            FROM m LEFT JOIN tw USING (doc_id)
         """,
     }

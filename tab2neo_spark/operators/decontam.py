@@ -1,0 +1,84 @@
+"""Benchmark decontamination: n-gram collision detection between a training
+corpus and an evaluation set (engine addition — standard pretraining
+hygiene; the reference has no counterpart).
+
+The canonical recipe: every training document sharing at least one
+``n``-gram (n≈8-13 words) with any benchmark document is flagged/dropped.
+
+Scale shape (100 TB corpus vs MB-scale benchmark):
+
+- both sides reduce to md5 **digests** of their n-grams — the join
+  shuffles 32-byte keys, never text;
+- the benchmark side is tiny by definition -> its digest set broadcasts,
+  so the corpus side is a map-only probe (no corpus shuffle at all when
+  Catalyst picks broadcast, which the explicit ``F.broadcast`` forces);
+- dropping flagged docs is a ``left_anti`` on doc_id.
+
+Everything is column expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngram_digests(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, digest) — one row per DISTINCT word n-gram of each document.
+    Tokenization matches textstats (lower, [^a-z0-9]+ splits)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    # guard short docs: sequence(1, 0) would DESCEND ([1, 0]) and slice at
+    # index 0 errors — a doc with < n words simply has no n-grams
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(words, i, n), " "))
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("digest")
+    )
+
+
+def ngram_collisions(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_id_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """(corpus id, bench id, n_shared) per colliding document pair —
+    the audit view (who leaked what)."""
+    bench_id_col = bench_id_col or id_col
+    c = _ngram_digests(corpus, text_col, id_col, n).withColumnRenamed(id_col, "corpus_id")
+    b = _ngram_digests(bench, text_col, bench_id_col, n).withColumnRenamed(
+        bench_id_col, "bench_id"
+    )
+    return (
+        c.join(F.broadcast(b), "digest")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Corpus rows with FEWER than ``min_shared`` distinct n-grams shared
+    with ANY single benchmark document. The contaminated-id set is
+    digest-probe + groupBy — corpus text never shuffles."""
+    hits = (
+        ngram_collisions(corpus, bench, text_col, id_col, n=n)
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(hits, id_col, "left_anti")

@@ -182,3 +182,53 @@ def test_banded_budget_equals_exact_reference(spark, tokens, budget, num_bands):
             want.append(i)
         prev += t
     assert got == sorted(want), (got, want)
+
+
+def test_decontaminate_drops_leaked_docs(spark):
+    from tab2neo_spark.operators.decontam import decontaminate, ngram_collisions
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base + " plus unique tail one"),
+         (2, "completely different words about spark shuffles and joins " * 2),
+         (3, "short doc")],  # < n words: no n-grams, never flagged
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    hits = ngram_collisions(corpus, bench, "text", "doc_id", n=8).collect()
+    assert {r["corpus_id"] for r in hits} == {1}
+    kept = decontaminate(corpus, bench, "text", "doc_id", n=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_gopher_filter_rules(spark):
+    from tab2neo_spark.operators.cleaning import gopher_filter, repetition_stats
+
+    clean = " ".join(f"w{i}" for i in range(60))
+    repeated_lines = "\n".join(["same line of text"] * 10 + ["unique bit"])
+    one_word = ("data " * 80).strip()
+    df = spark.createDataFrame(
+        [(1, clean), (2, repeated_lines), (3, one_word)],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in repetition_stats(df, "text").collect()}
+    assert stats[1]["dup_line_frac"] == 0.0
+    assert stats[2]["dup_line_frac"] > 0.8          # 9 of 11 lines are copies
+    assert stats[3]["top_word_frac"] == 1.0
+    kept = gopher_filter(df, "text", min_words=50).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_pii_redact_counts_and_text(spark):
+    from tab2neo_spark.operators.cleaning import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io and c@d.org, call +1-555-123-4567, host 10.0.0.1"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df, "text").collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 1, 1)
+    assert "<EMAIL>" in out[1]["redacted"] and "<IPV4>" in out[1]["redacted"]
+    assert "a.b@x.io" not in out[1]["redacted"]
+    assert out[2]["redacted"] == "nothing sensitive here"
