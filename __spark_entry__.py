@@ -1088,6 +1088,29 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "top_word_frac")
 
 
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup suppression (streaming/neardup.py): the whole
+    minhash signature is ONE column expression (no shuffle), deduped
+    in-flight; the surviving signature SET is order-independent, so it
+    compares exactly against batch SELECT DISTINCT."""
+    import uuid
+
+    from tab2neo_spark.streaming.neardup import stream_signature_dedup
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    )
+    out = stream_signature_dedup(stream, "text", num_hashes=8).select("signature")
+    qname = f"neardup_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT signature FROM {qname}")
+
+
 def q_where_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bare {'incl_null': bool} dialect (tests_query_builders/test_qb2.py:336)
     compiling to IS NULL / IS NOT NULL over a derived nullable column."""
@@ -1146,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
+        "stream_neardup": q_stream_neardup,
         "kg_readback_packmap": q_kg_readback_packmap,
         # -- previously green (r1/r2), rotated to the back --------------------
         "kg_extract_text": q_kg_extract_text,
@@ -2117,6 +2141,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "pii_redact": _pii_oracle(),
+        "stream_neardup": (
+            "WITH w AS (SELECT list_distinct(list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS sh "
+            "FROM documents) "
+            "SELECT DISTINCT "
+            + " || '|' || ".join(
+                f"list_min(list_transform(sh, x -> md5(x || '#{s}')))"
+                for s in range(8)
+            )
+            + " AS signature FROM w"
+        ),
         "repetition": """
             WITH d AS (SELECT doc_id, replace(text, '.', chr(10)) AS t FROM documents),
             l AS (

@@ -1,0 +1,54 @@
+"""Streaming near-duplicate suppression: per-row minhash signature +
+in-flight signature dedup (engine addition — the streaming counterpart of
+operators/dedup.py's batch LSH family).
+
+The batch path computes signatures with explode + groupBy (a shuffle);
+a stream cannot afford a stateful pre-aggregation per row, so here the
+ENTIRE signature is one column expression: for each seed,
+``array_min(transform(shingles, sh -> md5(sh || '#' || seed)))`` — O(|doc|
+× num_hashes) work fused into the stream's map stage, zero shuffle, no
+state beyond the final ``dropDuplicates`` keyed by the 32-byte-per-hash
+signature. Two documents with identical signatures (exact dups and
+aggressive near-dups at k=1 shingles) collapse to the first arrival.
+
+At scale: bound the dedup state with a watermark on the stream's event
+time (``withWatermark`` before calling this) — otherwise the signature
+state grows with corpus cardinality. The signature expression is also
+useful in batch: it trades the signature shuffle for per-row CPU, the
+right call when documents are small and the cluster is network-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def minhash_signature_expr(text_col: str, num_hashes: int = 8) -> Column:
+    """One pipe-joined minhash signature per row, as a single expression.
+    Tokenization (lower, [^a-z0-9]+, distinct) and hash construction
+    (md5(shingle || '#' || seed)) match operators/dedup.minhash_signatures
+    exactly, so batch and stream agree on signatures."""
+    shingles = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                 lambda w: w != "")
+    )
+    mins = [
+        F.array_min(
+            F.transform(shingles, lambda sh: F.md5(F.concat_ws("#", sh, F.lit(str(s)))))
+        )
+        for s in range(num_hashes)
+    ]
+    return F.concat_ws("|", *mins)
+
+
+def stream_signature_dedup(
+    stream: DataFrame, text_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """First-arrival-wins signature dedup over a stream. Add a watermark
+    upstream to bound the signature state."""
+    return (
+        stream.withColumn(
+            "signature", minhash_signature_expr(text_col, num_hashes)
+        ).dropDuplicates(["signature"])
+    )

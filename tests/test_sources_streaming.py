@@ -286,3 +286,41 @@ def test_read_jdbc_live_roundtrip(spark, tmp_path):
                     "(SELECT subj, count(*) AS n FROM visits GROUP BY subj) q")
     got = {r["SUBJ"]: r["N"] for r in sub.collect()}
     assert got == {"S1": 2, "S2": 1}
+
+
+def test_stream_signature_matches_batch_minhash(spark, tmp_path):
+    """streaming/neardup's per-row signature expression must agree with the
+    batch explode+groupBy minhash (operators/dedup.minhash_signatures) —
+    and dedup first-arrival semantics keep exactly one row per signature."""
+    from tab2neo_spark.operators.dedup import minhash_signatures, word_shingles
+    from tab2neo_spark.streaming.neardup import (
+        minhash_signature_expr,
+        stream_signature_dedup,
+    )
+
+    rows = [(1, "spark joins tables fast"), (2, "spark joins tables fast"),
+            (3, "totally different content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    per_row = {r["doc_id"]: r["sig"] for r in df.select(
+        "doc_id", minhash_signature_expr("text", 8).alias("sig")).collect()}
+    batch = (minhash_signatures(word_shingles(df, "text", "doc_id", k=1),
+                                "doc_id", 8)
+             .groupBy("doc_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                     lambda s: s["minhash"]), "|").alias("sig")))
+    for r in batch.collect():
+        assert per_row[r["doc_id"]] == r["sig"]
+    assert per_row[1] == per_row[2] != per_row[3]
+
+    drop = str(tmp_path / "docs_drop")
+    df.write.parquet(drop)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(drop)
+    out = stream_signature_dedup(stream, "text", 8).select("signature")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("neardup_t").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    sigs = [r["signature"] for r in spark.sql("SELECT * FROM neardup_t").collect()]
+    assert sorted(sigs) == sorted(set(per_row.values()))
