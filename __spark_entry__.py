@@ -1111,6 +1111,47 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT signature FROM {qname}")
 
 
+# messy-url synthesis shared verbatim by the Spark expr and the oracle
+_MESSY_URL_SQL = (
+    "'HtTpS://' || upper(source) || '.Example.COM/Doc/' || doc_id || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END)"
+)
+
+
+def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + domain extraction + blocklist filtering
+    (operators/urls.py) over deterministically-messied urls; rows whose
+    domain is blocked (incl. subdomain match) are dropped."""
+    from tab2neo_spark.operators.urls import (
+        filter_blocked_domains,
+        normalize_url,
+        url_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_MESSY_URL_SQL)
+    )
+    blocklist = spark.createDataFrame(
+        [("src1.example.com",), ("badsite.org",)], "domain string"
+    )
+    kept = filter_blocked_domains(docs, "url", blocklist)
+    return kept.select(
+        "doc_id",
+        normalize_url(F.col("url")).alias("norm_url"),
+        url_domain(F.col("url")).alias("domain"),
+    )
+
+
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum cap (operators/corpus.stratified_cap):
+    at most 10 docs per lang stratum, ranked by md5 of the id —
+    a pure function of row identity, reproducible on any engine."""
+    from tab2neo_spark.operators.corpus import stratified_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_cap(docs, ["lang"], "doc_id", cap=10)
+
+
 def q_where_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bare {'incl_null': bool} dialect (tests_query_builders/test_qb2.py:336)
     compiling to IS NULL / IS NOT NULL over a derived nullable column."""
@@ -1170,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "stream_neardup": q_stream_neardup,
+        "url_hygiene": q_url_hygiene,
+        "stratified_cap": q_stratified_cap,
         "kg_readback_packmap": q_kg_readback_packmap,
         # -- previously green (r1/r2), rotated to the back --------------------
         "kg_extract_text": q_kg_extract_text,
@@ -2141,6 +2184,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "pii_redact": _pii_oracle(),
+        "url_hygiene": f"""
+            WITH d AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+            n AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM d),
+            h AS (SELECT doc_id, url, nf,
+                    regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', 0) AS head
+                  FROM n),
+            x AS (SELECT doc_id,
+                    regexp_replace(lower(head) || substr(nf, length(head) + 1),
+                                   '^([a-z][a-z0-9+.-]*://[^/]+)/$', '\\1') AS norm_url,
+                    regexp_extract(lower(url),
+                                   '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain
+                  FROM h)
+            SELECT doc_id, norm_url, domain FROM x
+            WHERE NOT (domain = 'src1.example.com'
+                       OR domain LIKE '%.src1.example.com'
+                       OR domain = 'badsite.org'
+                       OR domain LIKE '%.badsite.org')
+        """,
+        "stratified_cap": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('cap#' || doc_id), doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 10
+        """,
         "stream_neardup": (
             "WITH w AS (SELECT list_distinct(list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS sh "

@@ -143,6 +143,36 @@ def sample_to_token_budget(
     return out.drop("_band").select(*df.columns)
 
 
+def stratified_cap(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """At most ``cap`` rows per stratum (source/language mixing control),
+    chosen DETERMINISTICALLY: rows rank by the md5 of (salt, id) inside
+    each stratum, so the sample is a pure function of row identity —
+    stable across runs, engines, and cluster sizes, and unbiased w.r.t.
+    any data ordering.
+
+    Scale shape: one partitioned window (partitionBy = strata). Hot strata
+    are exactly the case the cap exists for; AQE skew splitting does not
+    apply to windows, so for extreme skew raise
+    ``spark.sql.shuffle.partitions`` or pre-filter with a sampled
+    hash-threshold before the exact rank."""
+    rank_key = F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(rank_key, F.col(id_col))
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def select_training_corpus(
     df: DataFrame,
     text_col: str,

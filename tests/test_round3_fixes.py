@@ -232,3 +232,52 @@ def test_pii_redact_counts_and_text(spark):
     assert "<EMAIL>" in out[1]["redacted"] and "<IPV4>" in out[1]["redacted"]
     assert "a.b@x.io" not in out[1]["redacted"]
     assert out[2]["redacted"] == "nothing sensitive here"
+
+
+def test_url_hygiene_ops(spark):
+    from tab2neo_spark.operators.urls import (
+        filter_blocked_domains,
+        normalize_url,
+        url_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "HtTpS://WWW.Example.COM/Path/Keep#frag"),
+         (2, "http://sub.blocked.org/x?q=1"),
+         (3, "https://ok.net/"),
+         (4, "not a url")],
+        "id long, url string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id", normalize_url(F.col("url")).alias("n"),
+        url_domain(F.col("url")).alias("d")).collect()}
+    assert rows[1]["n"] == "https://www.example.com/Path/Keep"  # path case kept
+    assert rows[1]["d"] == "www.example.com"
+    assert rows[3]["n"] == "https://ok.net"   # trailing slash dropped
+    assert rows[4]["d"] == ""                 # non-url -> empty domain
+    block = spark.createDataFrame([("blocked.org",)], "domain string")
+    kept = filter_blocked_domains(df, "url", block)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3, 4]
+    # exact-only mode keeps the subdomain row
+    kept2 = filter_blocked_domains(df, "url", block, match_subdomains=False)
+    assert sorted(r["id"] for r in kept2.collect()) == [1, 2, 3, 4]
+
+
+def test_stratified_cap_deterministic_and_bounded(spark):
+    from tab2neo_spark.operators.corpus import stratified_cap
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b") for i in range(40)], "id long, s string"
+    )
+    out1 = stratified_cap(df, ["s"], "id", cap=5)
+    out2 = stratified_cap(df, ["s"], "id", cap=5)
+    got1 = sorted(tuple(r) for r in out1.collect())
+    assert got1 == sorted(tuple(r) for r in out2.collect())  # deterministic
+    from collections import Counter
+
+    by = Counter(s for _, s in got1)
+    assert by == {"a": 5, "b": 5}
+    # different salt -> different (still deterministic) sample
+    alt = sorted(tuple(r) for r in
+                 stratified_cap(df, ["s"], "id", cap=5, salt="other").collect())
+    assert alt != got1
