@@ -1368,6 +1368,12 @@ def _dedup_canonical_values() -> str:
 
     import duckdb
 
+    # oracle_sql() builds the whole dict eagerly; harnesses that exclude
+    # dedup_canonical (tools/check_correctness.py `only` filter) set this
+    # to skip the corpus-scale DuckDB pass — the placeholder would fail the
+    # gate if actually executed, which is the point.
+    if os.environ.get("SPARK_GRAFT_ORACLE_SKIP_CANON"):
+        return "(VALUES (-1, -1)) AS t(doc_id, canonical_id)"
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     if sf in _canon_values_cache:
         return _canon_values_cache[sf]

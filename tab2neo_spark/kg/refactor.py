@@ -384,6 +384,18 @@ class RefactorEngine:
         schema) link row nodes to their extracted entities and the
         readback can include the table class itself."""
         domain = domain or table_class
+        # reified row node ids are xxhash64(domain, cols): with domain ==
+        # table_class the id embeds its class, preserving the
+        # key-determines-partition contract the partition-pruned upsert
+        # relies on (materialize._existing_for_dedup). A shared domain
+        # reified under TWO table classes would break it — refuse.
+        if reify_rows and domain != table_class:
+            raise ValueError(
+                "reify_rows requires domain == table_class: row node ids "
+                "embed the domain, and reifying one domain under a "
+                "different class label would let the same node_id appear "
+                "in two class partitions"
+            )
         specs = plan_extraction(self.model, table_class)
         if not specs:
             raise ValueError(f"no extraction specs for table class {table_class!r}")

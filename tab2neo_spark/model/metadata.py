@@ -295,11 +295,13 @@ class MetadataModel:
                 have = [t.order for t in self.terms
                         if t.class_label == label and t.order is not None]
                 nxt = (max(have) + 1) if have else 1
+                # None-safe sort key (Cypher ORDER BY tolerates nulls;
+                # Python tuples of None do not): absent codes sort first
                 unordered = sorted(
                     (i for i, t in enumerate(self.terms)
                      if t.class_label == label and t.order is None),
-                    key=lambda i: (self.terms[i].codelist_code,
-                                   self.terms[i].term_code),
+                    key=lambda i: (self.terms[i].codelist_code or "",
+                                   self.terms[i].term_code or ""),
                 )
                 for i in unordered:
                     self.terms[i] = replace(self.terms[i], order=nxt)
@@ -567,9 +569,12 @@ class MetadataModel:
         self, include_id: bool = False, sort: bool = True
     ) -> list[dict]:
         """``[{'Class': label, 'short_label': …[, '_id_Class': int]}]``
-        (model_manager.py:400-422). The id is the catalog's deterministic
-        64-bit md5 id (stable across runs — unlike Neo4j's internal ids,
-        which the reference returns)."""
+        (model_manager.py:400-422). ``_id_Class`` is a CATALOG-ONLY stable
+        identifier (md5-derived) for callers that need a numeric handle —
+        it is NOT a graph node id: materialized Class nodes use
+        ``xxhash64('Class', label)`` (kg/refactor.is_a_edges); join on the
+        label, not on this id. (The reference returns Neo4j-internal ids,
+        which are equally non-portable.)"""
         import hashlib as _hl
 
         out = [

@@ -102,12 +102,21 @@ def create_model_from_linkml(linkml: dict) -> MetadataModel:
             if attr.get("alias") == "rdfs:label":
                 continue
             m.create_relationship(label, attr["range"], attr.get("alias"))
+    # '_' also being legal INSIDE codes makes '<codelist>_<term>' ambiguous;
+    # split once from the left (the reference's split('_')[0]/[1] silently
+    # TRUNCATES a multi-underscore term and CRASHES without one). Codelist
+    # codes with underscores still won't round-trip — an inherited format
+    # limitation of the reference's description encoding.
+    def _codes(desc: str) -> tuple[str, str]:
+        head, _, tail = (desc or "").partition("_")
+        return head, tail
+
     ct = {
         enum_name[: -len(" CT")]: [
             {
                 "rdfs:label": lbl,
-                "Codelist Code": d["description"].split("_")[0],
-                "Term Code": d["description"].split("_")[1],
+                "Codelist Code": _codes(d.get("description"))[0],
+                "Term Code": _codes(d.get("description"))[1],
             }
             for lbl, d in (dct.get("permissible_values") or {}).items()
         ]

@@ -13,10 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# RE2-safe patterns shared verbatim with the SQL oracles
+# RE2-safe patterns shared verbatim with the SQL oracles. Phone separators
+# deliberately EXCLUDE '.': dotted phone numbers are rare while dotted
+# quads are everywhere — '.' in the class made 192.168.100.123-style IPs
+# match as phones (double-counted and redacted under the wrong class).
 PII_PATTERNS: dict[str, str] = {
     "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
-    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "phone": r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}",
     "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
 }
 

@@ -102,8 +102,16 @@ def sample_to_token_budget(
 
     r = df.agg(F.min(order).alias("lo"), F.max(order).alias("hi")).collect()[0]
     if r["lo"] is None:
-        return df.filter(F.lit(False))
-    lo, hi = float(r["lo"]), float(r["hi"])
+        # empty input OR an all-NULL order column: the exact window's
+        # semantics (DESC NULLS LAST, id tiebreak) still apply — fall back
+        # rather than silently dropping everything
+        return _exact(df, 0).select(*df.columns)
+    try:
+        lo, hi = float(r["lo"]), float(r["hi"])
+    except (TypeError, ValueError):
+        # non-numeric order key (string tiers): equal-width banding does
+        # not apply; keep the exact semantics
+        return _exact(df, 0).select(*df.columns)
     if hi == lo:
         return _exact(df, 0).select(*df.columns)
 

@@ -231,22 +231,25 @@ def embedding_near_dup_pairs(
     self-joins bounded."""
     if num_bits % bands:
         raise ValueError("num_bits must divide evenly into bands")
-    # dim < num_bits would make F.slice return short arrays: trailing bands
-    # get an empty-string signature shared by EVERY vector, silently turning
-    # the banded blocking into a full O(n^2) self-join. One-row probe
-    # (limit-1 scan, driver-side) to fail fast instead.
-    probe = df.select(F.size(F.col(vec_col)).alias("n")).head(1)
-    if probe and probe[0]["n"] is not None and probe[0]["n"] < num_bits:
-        raise ValueError(
-            f"embedding dimension {probe[0]['n']} < num_bits={num_bits}; "
-            f"pass num_bits <= the vector dimension"
-        )
     r = num_bits // bands
     bits = F.transform(
         F.slice(F.col(vec_col), 1, num_bits),
         lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
     )
-    with_bits = df.select(F.col(id_col), F.col(vec_col), bits.alias("__bits"))
+    # dim < num_bits would make F.slice return short arrays: trailing bands
+    # get an empty-string signature shared by EVERY vector, silently turning
+    # the banded blocking into a full O(n^2) self-join. Per-row lazy guard
+    # (assert_true evaluates during execution, covers EVERY row, adds no
+    # eager job and stays streaming-compatible).
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) >= num_bits,
+        F.lit(f"embedding dimension < num_bits={num_bits}; pass num_bits "
+              "<= the vector dimension (banded LSH would degenerate to an "
+              "all-pairs join)"),
+    )
+    with_bits = df.select(
+        F.col(id_col), F.col(vec_col), F.when(guard.isNull(), bits).alias("__bits")
+    )
     banded = with_bits.select(
         F.col(id_col),
         F.col(vec_col),

@@ -50,8 +50,4 @@ def filter_blocked_domains(
         )
     else:
         cond = host == F.col("__blocked")
-    return (
-        df.withColumn("__host", host)
-        .join(b, cond, "left_anti")
-        .drop("__host")
-    )
+    return df.join(b, cond, "left_anti")

@@ -11,11 +11,17 @@ state beyond the final ``dropDuplicates`` keyed by the 32-byte-per-hash
 signature. Two documents with identical signatures (exact dups and
 aggressive near-dups at k=1 shingles) collapse to the first arrival.
 
-At scale: bound the dedup state with a watermark on the stream's event
-time (``withWatermark`` before calling this) — otherwise the signature
-state grows with corpus cardinality. The signature expression is also
-useful in batch: it trades the signature shuffle for per-row CPU, the
-right call when documents are small and the cluster is network-bound.
+At scale the dedup state must be bounded: a plain
+``dropDuplicates(["signature"])`` keeps every distinct signature FOREVER
+(Spark only evicts dropDuplicates state when the event-time column is part
+of the dedup subset). Pass ``within_watermark=True`` (after an upstream
+``withWatermark``) to use ``dropDuplicatesWithinWatermark`` instead —
+state for a signature is dropped once it ages past the watermark, trading
+"dedup across all time" for "dedup within the watermark window", which is
+the only semantics that survives an unbounded corpus. The signature
+expression is also useful in batch: it trades the signature shuffle for
+per-row CPU, the right call when documents are small and the cluster is
+network-bound.
 """
 
 from __future__ import annotations
@@ -43,12 +49,20 @@ def minhash_signature_expr(text_col: str, num_hashes: int = 8) -> Column:
 
 
 def stream_signature_dedup(
-    stream: DataFrame, text_col: str, num_hashes: int = 8
+    stream: DataFrame,
+    text_col: str,
+    num_hashes: int = 8,
+    within_watermark: bool = False,
 ) -> DataFrame:
-    """First-arrival-wins signature dedup over a stream. Add a watermark
-    upstream to bound the signature state."""
-    return (
-        stream.withColumn(
-            "signature", minhash_signature_expr(text_col, num_hashes)
-        ).dropDuplicates(["signature"])
+    """First-arrival-wins signature dedup over a stream.
+
+    ``within_watermark=False``: global dedup, state grows with distinct
+    signatures — fine for bounded replays, NOT for unbounded streams.
+    ``within_watermark=True``: requires an upstream ``withWatermark``;
+    state is evicted as signatures age out (see module docstring)."""
+    sig = stream.withColumn(
+        "signature", minhash_signature_expr(text_col, num_hashes)
     )
+    if within_watermark:
+        return sig.dropDuplicatesWithinWatermark(["signature"])
+    return sig.dropDuplicates(["signature"])

@@ -92,15 +92,19 @@ def test_map_pack_duplicate_key_keeps_max_value(spark):
 
 
 def test_near_dup_rejects_short_vectors(spark):
+    """Per-row lazy guard: plan construction stays lazy (no eager probe
+    job), but EVERY short vector fails the run — including ones past the
+    first row."""
     from tab2neo_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = spark.createDataFrame(
-        [(1, [0.1] * 16), (2, [0.2] * 16)],
+        [(1, [0.1] * 32), (2, [0.2] * 16)],  # first row long enough!
         "vec_id long, embedding array<float>",
     )
-    with pytest.raises(ValueError, match="num_bits"):
-        embedding_near_dup_pairs(emb, "embedding", "vec_id",
-                                 threshold=0.9, num_bits=32, bands=4)
+    out = embedding_near_dup_pairs(emb, "embedding", "vec_id",
+                                   threshold=0.9, num_bits=32, bands=4)
+    with pytest.raises(Exception, match="num_bits"):
+        out.collect()
 
 
 def test_bare_incl_null_condition(spark):

@@ -83,6 +83,10 @@ def main() -> int:
     import os
 
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    # a targeted run that excludes dedup_canonical must not pay its
+    # corpus-scale union-find oracle build
+    if only and "dedup_canonical" not in only:
+        os.environ["SPARK_GRAFT_ORACLE_SKIP_CANON"] = "1"
 
     import __spark_entry__ as entrymod
     from tab2neo_spark.session import get_spark
