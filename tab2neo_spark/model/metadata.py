@@ -149,14 +149,101 @@ class MetadataModel:
             if (r.from_label, r.to_label, r.relationship_type) not in doomed
         ]
 
-    def delete_subclasses(self, subclass_list: list[list[str]]) -> None:
-        """Delete [parent, child] SUBCLASS_OF edges + rels the child only
-        inherited through that parent (model_manager.py:349-372)."""
-        for parent, child in subclass_list:
-            self.subclass_of = [
-                p for p in self.subclass_of if p != (child, parent)
+    def create_subclasses(
+        self,
+        subclass_list: list[list],
+        identifier: str = "label",
+        match_classes: bool = True,
+    ) -> list[list[str]]:
+        """The reference's list-form create_subclass
+        (model_manager.py:220-257): ``[[parent, child[, conditions]], …]``;
+        with ``match_classes`` absent classes skip the pair (MATCH
+        semantics), else they are created (MERGE). After the edges land,
+        relationships propagate DOWN to children and terms propagate UP to
+        parents — exactly the reference's automatic post-pass."""
+        out: list[list[str]] = []
+        for entry in subclass_list:
+            parent, child = entry[0], entry[1]
+            cond = entry[2] if len(entry) > 2 else None
+            p = self._class_by_identifier(parent, identifier)
+            c = self._class_by_identifier(child, identifier)
+            if match_classes and (p is None or c is None):
+                continue
+            self.create_subclass(p or parent, c or child, conditions=cond)
+            out.append([parent, child] if cond is None else [parent, child, cond])
+        if out:
+            self.propagate_rels_to_child_class()
+            self.propagate_terms_to_parent_class()
+        return out
+
+    def delete_terms_of_parent_class(
+        self, subclass_list: list[list[str]], identifier: str = "label"
+    ) -> int:
+        """For each ``[parent, child]``: remove from EVERY ancestor of the
+        child the terms the child also carries — undoing upward term
+        propagation (model_manager.py:317-332; runs with the SUBCLASS_OF
+        edges still in place, as in delete_subclasses' ordering). Returns
+        terms removed."""
+        closure = self.subclass_closure()
+        removed = 0
+        for _parent, child in ((e[0], e[1]) for e in subclass_list):
+            c = self._class_by_identifier(child, identifier)
+            child_keys = {
+                (t.codelist_code, t.term_code)
+                for t in self.terms if t.class_label == c
+            }
+            ancestors = {a for ch, a, d in closure if ch == c and d > 0}
+            before = len(self.terms)
+            self.terms = [
+                t for t in self.terms
+                if not (t.class_label in ancestors
+                        and (t.codelist_code, t.term_code) in child_keys)
             ]
-            self.subclass_conditions.pop((child, parent), None)
+            removed += before - len(self.terms)
+        return removed
+
+    def delete_rels_of_child_class(
+        self, subclass_list: list[list[str]], identifier: str = "label"
+    ) -> int:
+        """For each ``[parent, child]``: remove from every DESCENDANT of
+        the parent the (type, target) relationships the parent itself
+        carries — undoing downward rel propagation
+        (model_manager.py:334-348). Returns rels removed."""
+        closure = self.subclass_closure()
+        removed = 0
+        for parent, _child in ((e[0], e[1]) for e in subclass_list):
+            p = self._class_by_identifier(parent, identifier)
+            desc = {ch for ch, a, d in closure if a == p and d > 0}
+            type_targets = set()
+            for r in self.relationships:
+                if r.from_label == p:
+                    type_targets.add((r.relationship_type, r.to_label))
+                if r.to_label == p:
+                    type_targets.add((r.relationship_type, r.from_label))
+            before = len(self.relationships)
+            self.relationships = [
+                r for r in self.relationships
+                if not (r.from_label in desc
+                        and (r.relationship_type, r.to_label) in type_targets)
+            ]
+            removed += before - len(self.relationships)
+        return removed
+
+    def delete_subclasses(
+        self, subclass_list: list[list[str]], identifier: str = "label"
+    ) -> None:
+        """Delete [parent, child] SUBCLASS_OF edges AND the artifacts
+        propagation created through them: inherited terms leave the
+        parents, inherited rels leave the children
+        (model_manager.py:349-372 — same call order: cleanup first, while
+        the edges still resolve the hierarchies)."""
+        self.delete_terms_of_parent_class(subclass_list, identifier)
+        self.delete_rels_of_child_class(subclass_list, identifier)
+        for parent, child in ((e[0], e[1]) for e in subclass_list):
+            p = self._class_by_identifier(parent, identifier) or parent
+            c = self._class_by_identifier(child, identifier) or child
+            self.subclass_of = [x for x in self.subclass_of if x != (c, p)]
+            self.subclass_conditions.pop((c, p), None)
 
     def create_custom_mappings_from_dict(self, groupings: dict | None = None) -> None:
         """``{table|'*': {Class: [column, ...]}}`` -> property mappings; the

@@ -402,3 +402,67 @@ def test_get_subclasses_where():
     assert cond == {"on": "dept"}
     only = m.get_subclasses_where(lambda p, c: p == "Person")
     assert {d["child"] for d in only} == {"Subject", "Employee"}
+
+
+def _propagation_fixture():
+    """The test_mm2.py:266-361 shape: Apple has term1t, class2 has term2t,
+    class4 -typeE-> class5; subclass chain class4 <- class2 <- Apple
+    (list entries are [parent, child]) built via the auto-propagating
+    list-form create_subclasses."""
+    m = MetadataModel()
+    for lb in ["class1", "class2", "class3", "class4", "class5", "Apple"]:
+        m.create_class(lb)
+    m.create_ct({
+        "Apple": [{"Codelist Code": "term1c", "Term Code": "term1t", "Order": 2}],
+        "class2": [{"Codelist Code": "term2c", "Term Code": "term2t", "Order": 2}],
+    }, order_terms=False)
+    m.create_relationship("class4", "class5", "typeE")
+    res = m.create_subclasses(
+        [["class1", "class3"], ["class2", "Apple"], ["class4", "class2"]])
+    assert res == [["class1", "class3"], ["class2", "Apple"],
+                   ["class4", "class2"]]
+    return m
+
+
+def test_create_subclasses_auto_propagates():
+    """create_subclass(list) propagates terms UP and rels DOWN
+    (test_mm2.py:311-323, 348-355)."""
+    m = _propagation_fixture()
+    has_term1 = sorted(t.class_label for t in m.terms if t.term_code == "term1t")
+    assert has_term1 == ["Apple", "class2", "class4"]
+    typee = sorted((r.from_label, r.to_label) for r in m.relationships
+                   if r.relationship_type == "typeE")
+    assert typee == [("Apple", "class5"), ("class2", "class5"),
+                     ("class4", "class5")]
+    # MATCH semantics: unknown classes are skipped
+    assert m.create_subclasses([["nope", "class1"]]) == []
+
+
+def test_delete_terms_of_parent_class():
+    """Mirrors test_mm2.py:295-328."""
+    m = _propagation_fixture()
+    m.delete_terms_of_parent_class([["class2", "Apple"]])
+    has_term1 = sorted(t.class_label for t in m.terms if t.term_code == "term1t")
+    assert has_term1 == ["Apple"]
+
+
+def test_delete_rels_of_child_class():
+    """Mirrors test_mm2.py:330-361."""
+    m = _propagation_fixture()
+    m.delete_rels_of_child_class([["class4", "class2"]])
+    typee = sorted((r.from_label, r.to_label) for r in m.relationships
+                   if r.relationship_type == "typeE")
+    assert typee == [("class4", "class5")]
+
+
+def test_delete_subclasses_cleans_propagated_artifacts():
+    """Mirrors test_mm2.py:266-292 + the combined cleanup semantics."""
+    m = _propagation_fixture()
+    m.delete_subclasses([["class4", "class2"], ["class2", "Apple"]])
+    assert m.subclass_of == [("class3", "class1")]
+    # inherited term copies gone from parents, originals stay
+    assert sorted(t.class_label for t in m.terms if t.term_code == "term1t") == ["Apple"]
+    # inherited rels gone from children, the original stays
+    typee = sorted((r.from_label, r.to_label) for r in m.relationships
+                   if r.relationship_type == "typeE")
+    assert typee == [("class4", "class5")]
