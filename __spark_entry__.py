@@ -1152,6 +1152,20 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_cap(docs, ["lang"], "doc_id", cap=10)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/corpus.pack_token_sequences):
+    deterministic md5 layout, banded prefix sums (256 parallel windows,
+    no corpus-wide single-partition window), seq = floor(start/512)."""
+    from tab2neo_spark.operators.corpus import pack_token_sequences
+    from tab2neo_spark.operators.textstats import token_count
+
+    docs = token_count(_t(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "n_tokens"
+    )
+    out = pack_token_sequences(docs, "doc_id", "n_tokens", max_tokens=512)
+    return out.select("doc_id", "seq_id", "start_offset")
+
+
 def q_where_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bare {'incl_null': bool} dialect (tests_query_builders/test_qb2.py:336)
     compiling to IS NULL / IS NOT NULL over a derived nullable column."""
@@ -1213,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_neardup": q_stream_neardup,
         "url_hygiene": q_url_hygiene,
         "stratified_cap": q_stratified_cap,
+        "pack_sequences": q_pack_sequences,
         "kg_readback_packmap": q_kg_readback_packmap,
         # -- previously green (r1/r2), rotated to the back --------------------
         "kg_extract_text": q_kg_extract_text,
@@ -2207,6 +2222,25 @@ def oracle_sql() -> dict[str, str]:
                        OR domain LIKE '%.src1.example.com'
                        OR domain = 'badsite.org'
                        OR domain LIKE '%.badsite.org')
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY md5('pack#' || doc_id), doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS start_offset
+                FROM t
+            )
+            SELECT doc_id, CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+                   start_offset
+            FROM p
         """,
         "stratified_cap": """
             SELECT doc_id, lang, source FROM (

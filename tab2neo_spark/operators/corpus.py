@@ -181,6 +181,63 @@ def stratified_cap(
     )
 
 
+def pack_token_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_tokens: int,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign every document to a fixed-size training sequence: documents
+    are laid out in a deterministic global order (md5 of the id — i.e. a
+    reproducible shuffle) and concatenated; a document belongs to the
+    sequence where it STARTS (``seq_id = floor(start_offset /
+    max_tokens)``), the standard boundary-respecting packing assignment.
+
+    The global prefix sum — inherently sequential — is computed WITHOUT a
+    single-partition window: the first md5 byte buckets rows into 256
+    uniform bands whose ordering equals the global order; per-band token
+    sums (one tiny-row shuffle) prefix-scan on the driver into per-band
+    offsets, and the exact window runs per band (``partitionBy(band)``,
+    ~n/256 rows each) seeded with its band offset. Output:
+    ``(row, seq_id, start_offset)``.
+    """
+    key = F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
+    band = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    banded = df.withColumn("_key", key).withColumn("_band", band)
+
+    sums = {
+        r["_band"]: r["_tok"]
+        for r in banded.groupBy("_band").agg(F.sum(token_col).alias("_tok")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+    if not offsets:
+        return df.withColumn("seq_id", F.lit(0).cast("long")).withColumn(
+            "start_offset", F.lit(0).cast("long")
+        )
+    offset_map = F.create_map(
+        *[x for b, off in offsets.items() for x in (F.lit(b), F.lit(off))]
+    )
+    w = (
+        Window.partitionBy("_band")
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.coalesce(F.sum(token_col).over(w), F.lit(0))
+        + offset_map[F.col("_band")]
+    ).cast("long")
+    return (
+        banded.withColumn("start_offset", start)
+        .withColumn("seq_id", F.floor(F.col("start_offset") / max_tokens))
+        .drop("_key", "_band")
+    )
+
+
 def select_training_corpus(
     df: DataFrame,
     text_col: str,

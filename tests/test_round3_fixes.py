@@ -285,3 +285,29 @@ def test_stratified_cap_deterministic_and_bounded(spark):
     alt = sorted(tuple(r) for r in
                  stratified_cap(df, ["s"], "id", cap=5, salt="other").collect())
     assert alt != got1
+
+
+def test_pack_sequences_matches_global_window(spark):
+    """Banded prefix-sum packing must equal the exact single-window global
+    cumsum, and its Window must be partitioned (by band), never global."""
+    from pyspark.sql import Window as W
+
+    from tab2neo_spark.operators.corpus import pack_token_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50) for i in range(300)], "doc_id long, n_tokens long"
+    )
+    out = pack_token_sequences(df, "doc_id", "n_tokens", max_tokens=128)
+    key = F.md5(F.concat_ws("#", F.lit("pack"), F.col("doc_id").cast("string")))
+    w = W.orderBy(key, "doc_id").rowsBetween(W.unboundedPreceding, -1)
+    ref = df.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    ).withColumn("seq_id", F.floor(F.col("start_offset") / 128))
+    got = {r["doc_id"]: (r["seq_id"], r["start_offset"]) for r in out.collect()}
+    want = {r["doc_id"]: (r["seq_id"], r["start_offset"]) for r in ref.collect()}
+    assert got == want
+    # every sequence's docs are contiguous in the layout and starts ascend
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win = plan[plan.index("Window"):]
+    first_window_line = win.splitlines()[0]
+    assert "_band" in first_window_line  # partitioned window, not global
