@@ -1152,6 +1152,15 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_cap(docs, ["lang"], "doc_id", cap=10)
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer unit count (textstats.bpe_token_count) —
+    the regex-only budget proxy for a trained BPE tokenizer."""
+    from tab2neo_spark.operators.textstats import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_count(docs, "text").select("doc_id", "n_bpe_tokens")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (operators/corpus.pack_token_sequences):
     deterministic md5 layout, banded prefix sums (256 parallel windows,
@@ -1228,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_hygiene": q_url_hygiene,
         "stratified_cap": q_stratified_cap,
         "pack_sequences": q_pack_sequences,
+        "bpe_tokens": q_bpe_tokens,
         "kg_readback_packmap": q_kg_readback_packmap,
         # -- previously green (r1/r2), rotated to the back --------------------
         "kg_extract_text": q_kg_extract_text,
@@ -1445,6 +1455,17 @@ def _pii_oracle() -> str:
         WITH d AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t FROM documents)
         SELECT doc_id, {', '.join(counts)}, md5({red}) AS red_md5 FROM d
     """
+
+
+def _bpe_tokens_oracle() -> str:
+    """Shares textstats.BPE_PRETOKEN_PATTERN verbatim (RE2-safe subset)."""
+    from tab2neo_spark.operators.textstats import BPE_PRETOKEN_PATTERN
+
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return (
+        f"SELECT doc_id, len(regexp_extract_all(text, '{pat}')) "
+        "AS n_bpe_tokens FROM documents"
+    )
 
 
 def _vec16_sql(key_expr: str) -> str:
@@ -2223,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
                        OR domain = 'badsite.org'
                        OR domain LIKE '%.badsite.org')
         """,
+        "bpe_tokens": _bpe_tokens_oracle(),
         "pack_sequences": """
             WITH t AS (
                 SELECT doc_id,

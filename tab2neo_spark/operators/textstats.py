@@ -36,6 +36,30 @@ def token_count(df: DataFrame, text_col: str, out_col: str = "n_tokens") -> Data
     return df.withColumn(out_col, F.size(_words(text_col)))
 
 
+# GPT-2-style pre-tokenization units (contractions, space-prefixed letter /
+# digit / symbol runs, whitespace runs), restricted to the RE2-safe subset
+# (the canonical pattern's (?!\S) lookahead is dropped — it only changes
+# how trailing-space runs split, not unit counts' order of magnitude).
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str, out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Pre-tokenizer unit count under the GPT-2-ish regex — the standard
+    cheap proxy for a trained BPE tokenizer's budget (actual merges only
+    ever SPLIT these units further, so this lower-bounds token counts with
+    a stable ratio per language). Pure regexp over the scan; identical
+    pattern semantics on RE2 engines for oracle checks."""
+    return df.withColumn(
+        out_col,
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(BPE_PRETOKEN_PATTERN), 0)),
+    )
+
+
 def lang_scores(text_col: str) -> dict[str, Column]:
     """Per-language marker-hit counts over the distinct word set."""
     words = F.array_distinct(_words(text_col))
