@@ -72,11 +72,30 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench: query {name} failed: {ex}", file=sys.stderr)
 
+    # round-3 training-data-hygiene family, reported as a SEPARATE block so
+    # the headline wall stays comparable across rounds
+    HYGIENE = ["decontam", "pii_redact", "repetition", "url_hygiene",
+               "stratified_cap", "pack_sequences", "bpe_tokens"]
+    hygiene: dict[str, float] = {}
+    for name in HYGIENE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).count()
+            hygiene[name] = round(time.time() - t0, 3)
+        except Exception as ex:
+            hygiene[name] = -1.0
+            print(f"bench: hygiene query {name} failed: {ex}", file=sys.stderr)
+
     result = {
         "metric": "kg_headline_queries_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "hygiene_queries": hygiene,
+        "hygiene_wall": round(sum(v for v in hygiene.values() if v > 0), 3),
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "cpus": CPUS,
     }
