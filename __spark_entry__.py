@@ -380,6 +380,51 @@ def q_where_exists_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_optional_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 atomic optional groups (split_out_optional semantics): the
+    2-hop optional chain Segment -HIGH_BAL-> Nation** -IN_REGION-> Region**
+    with a SPARSE tail (region edges only for n_regionkey = 0 nations) —
+    a high-bal nation in another region yields NULL for BOTH optional
+    columns, never a partial match."""
+    from tab2neo_spark.model.metadata import MetadataModel
+    from tab2neo_spark.provider import DataProvider
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    def _nodes(df, cls, col):
+        v = F.col(col).cast("string")
+        return df.select(v.alias("rdfs_label")).distinct().select(
+            F.xxhash64(F.lit(cls), "rdfs_label").alias("node_id"),
+            F.lit(cls).alias("class"),
+            "rdfs_label",
+            F.lit(None).cast("string").alias("uri"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    nodes = (
+        _nodes(cust, "Segment", "c_mktsegment")
+        .unionByName(_nodes(cust, "Nation", "c_nationkey"))
+        .unionByName(_nodes(nation, "Region", "n_regionkey"))
+    )
+    high = cust.filter(F.col("c_acctbal") > 9900).select(
+        F.xxhash64(F.lit("Segment"), F.col("c_mktsegment").cast("string")).alias("src"),
+        F.lit("HIGH_BAL").alias("rel_type"),
+        F.xxhash64(F.lit("Nation"), F.col("c_nationkey").cast("string")).alias("dst"),
+    ).distinct()
+    in_region = nation.filter(F.col("n_regionkey") == 0).select(
+        F.xxhash64(F.lit("Nation"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.lit("IN_REGION").alias("rel_type"),
+        F.xxhash64(F.lit("Region"), F.col("n_regionkey").cast("string")).alias("dst"),
+    ).distinct()
+    m = MetadataModel()
+    m.create_related_classes_from_list(
+        [["Segment", "Nation", "HIGH_BAL"], ["Nation", "Region", "IN_REGION"]]
+    )
+    dp = DataProvider(spark, m, nodes, high.unionByName(in_region))
+    return dp.get_data(["Segment", "Nation**", "Region**"])
+
+
 def q_kg_readback_packmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 map-form labels_to_pack: regions packed into one map keyed by the
     nation value (apoc.map.fromPairs analog), rendered as a sorted string
@@ -1230,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ct_ordering": q_ct_ordering,
         "rels_propagation": q_rels_propagation,
         "where_null": q_where_null,
+        "optional_group": q_optional_group,
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
@@ -2204,6 +2250,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c_custkey, 'not_null' FROM customer
             WHERE nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+        """,
+        "optional_group": """
+            WITH hb AS (
+                SELECT DISTINCT c_mktsegment AS seg, c_nationkey AS nat
+                FROM customer WHERE c_acctbal > 9900
+            ),
+            chain AS (
+                SELECT hb.seg, hb.nat, n.n_regionkey AS reg
+                FROM hb JOIN nation n
+                  ON n.n_nationkey = hb.nat AND n.n_regionkey = 0
+            )
+            SELECT s.seg AS "Segment", c.nat::VARCHAR AS "Nation",
+                   c.reg::VARCHAR AS "Region"
+            FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+            LEFT JOIN chain c USING (seg)
         """,
         "decontam": """
             WITH w AS (

@@ -77,6 +77,68 @@ def _connected_groups(labels: list[str], rels: list[RelSpec]) -> list[set[str]]:
     return list(groups.values())
 
 
+def _split_out_optional(
+    labels: list[str], rel_specs: list[RelSpec], labels_opt: set[str]
+) -> list[tuple[list[str], list[RelSpec]]]:
+    """The reference's split_out_optional (query_builder.py:456-580),
+    field for field: ``[(group_labels, group_rels), ...]`` with group 0 =
+    the mandatory tier. Labels sort (stable) mandatory-first then by
+    descending count of rels touching the mandatory tier; an optional
+    label with a mandatory link anchors a NEW group, one without joins
+    the group of EVERY already-processed neighbor (shared labels repeat
+    across groups — the bound-variable constraint). A group's rels are
+    those touching its labels whose endpoints are all processed by that
+    group's turn."""
+    mand = {lb for lb in labels if lb not in labels_opt}
+    info = []
+    for lb in labels:
+        l_rels = [r for r in rel_specs if lb in (r.from_label, r.to_label)]
+        n_to_mand = len(
+            [r for r in l_rels if r.from_label in mand or r.to_label in mand]
+        )
+        info.append((lb, lb in labels_opt, l_rels, n_to_mand))
+    info.sort(key=lambda t: (t[1], -t[3]))  # stable: preserves query order
+
+    g_dict: dict[int, list[tuple[str, list[RelSpec]]]] = {0: []}
+    g_lookup: dict[str, int] = {}
+    g = 0
+    for lb, opt, l_rels, n_to_mand in info:
+        related_processed = []
+        for r in l_rels:
+            if r.from_label in g_lookup:
+                related_processed.append(r.from_label)
+            elif r.to_label in g_lookup:
+                related_processed.append(r.to_label)
+        if not opt:
+            g_dict[0].append((lb, l_rels))
+            g_lookup[lb] = 0
+        elif n_to_mand == 0 and related_processed:
+            for p in related_processed:
+                cur = g_lookup[p]
+                g_dict[cur].append((lb, l_rels))
+                g_lookup[lb] = cur
+        else:
+            g += 1
+            g_dict[g] = [(lb, l_rels)]
+            g_lookup[lb] = g
+
+    out: list[tuple[list[str], list[RelSpec]]] = []
+    processed: set[str] = set()
+    for key in sorted(g_dict):
+        item = g_dict[key]
+        g_labels = [lb for lb, _ in item]
+        processed.update(g_labels)
+        g_rels: list[RelSpec] = []
+        for _, rl in item:
+            for r in rl:
+                if (r.from_label in processed and r.to_label in processed
+                        and r not in g_rels):
+                    g_rels.append(r)
+        if g_labels or g_rels:
+            out.append((g_labels, g_rels))
+    return out
+
+
 class DataProvider:
     def __init__(
         self,
@@ -225,6 +287,14 @@ class DataProvider:
                 raise QuerySpecError(f"relationships not in the schema: {bad}")
         if not rel_specs and infer_rels and len(clean) > 1:
             rel_specs = self.model.infer_rels(clean)
+        # '**' markers and user-marked optional rels both make a class
+        # optional (the reference's labels_opt derivation, D4: '** optional
+        # suffix from r.optional') — computed BEFORE the rel rewrite so a
+        # rel that merely TOUCHES an optional class does not drag its
+        # mandatory endpoint into the optional tier
+        optional = optional | {
+            r.to_label for r in rel_specs if r.optional and r.to_label in clean
+        }
         # a rel touching an optional class is itself optional (J2/J3)
         rel_specs = [
             RelSpec(
@@ -244,15 +314,13 @@ class DataProvider:
                 "pass allow_unrelated_subgraphs=True for a cartesian product"
             )
 
-        # 4. join order: mandatory core first, then optional left-joins,
-        #    most-connected-first within each tier (query_builder.py:509)
-        def connectivity(lb: str) -> int:
-            return sum(1 for r in rel_specs if lb in (r.from_label, r.to_label))
-
+        # 4. join planning: mandatory core first, then ATOMIC optional
+        #    groups (split_out_optional, query_builder.py:456-580) — labels
+        #    in query order so the reference's stable tie-breaking holds
         result: DataFrame | None = None
         for group in groups:
             g_df = self._join_group(
-                sorted(group, key=lambda lb: (lb in optional, -connectivity(lb), lb)),
+                [lb for lb in clean if lb in group],
                 rel_specs,
                 optional,
                 where_map,
@@ -410,46 +478,127 @@ class DataProvider:
         only_props: Mapping[str, Sequence[str]] | None = None,
         with_uris: bool = False,
     ) -> DataFrame:
+        """Mandatory core + ATOMIC optional groups (J2/J3).
+
+        Cypher's OPTIONAL MATCH is all-or-nothing per pattern: in
+        ``MATCH (s) OPTIONAL MATCH (s)--(e)--(u)``, a matching ``e`` with
+        no ``u`` yields NULL for BOTH. Sequential left joins get that
+        wrong (partial matches survive), so each optional group's pattern
+        is composed with INNER joins into one DataFrame and then
+        LEFT-joined onto the plan in a single step, keyed on the group's
+        bound labels — NULL bound keys never match, which is exactly the
+        bound-NULL-variable semantics of a downstream OPTIONAL MATCH.
+
+        Grouping replicates split_out_optional (query_builder.py:456-580):
+        each optional label with a direct rel to the mandatory tier
+        anchors its own group; dependent optional labels join the
+        group(s) of their already-processed neighbors — appearing in
+        SEVERAL groups when shared (the bound-variable constraint), and a
+        group's rel list includes every rel among labels processed so far
+        that touches the group (re-stated bound-bound rels gate the
+        match, as the re-used pattern variables do in Cypher)."""
         only_props = only_props or {}
+
+        def class_df(lb: str) -> DataFrame:
+            return self._class_df(
+                lb, where_map.get(lb), only_props.get(lb, ()), with_uris
+            )
+
         joined: DataFrame | None = None
         in_plan: set[str] = set()
-        pending = list(ordered_labels)
-        while pending:
-            progressed = False
-            for lb in list(pending):
-                if joined is None:
-                    joined = self._class_df(lb, where_map.get(lb), only_props.get(lb, ()), with_uris)
-                    in_plan.add(lb)
-                    pending.remove(lb)
-                    progressed = True
-                    continue
-                # find a rel connecting lb to the current plan
-                for r in rel_specs:
-                    endpoints = (r.from_label, r.to_label)
-                    if lb not in endpoints:
-                        continue
-                    other = endpoints[0] if endpoints[1] == lb else endpoints[1]
-                    if other in in_plan and lb not in in_plan:
-                        e = self._edges_for(r)
-                        n = self._class_df(lb, where_map.get(lb), only_props.get(lb, ()), with_uris)
-                        how = "left" if (r.optional or lb in optional) else "inner"
-                        known = r.from_label if r.from_label in in_plan else r.to_label
-                        # edge ⋈ new class first, then attach to the plan on
-                        # the known side's id — one join per hop
-                        e_n = e.join(n, f"_id_{lb}", "inner")
-                        joined = joined.join(e_n, f"_id_{known}", how)
-                        in_plan.add(lb)
-                        pending.remove(lb)
-                        progressed = True
-                        break
-                if progressed:
-                    break
-            if not progressed and pending:
-                # same-group labels with no direct rel to the plan yet —
-                # should not happen after connectedness grouping
-                raise QuerySpecError(f"cannot join labels {pending} into plan {in_plan}")
+        for g_labels, g_rels in _split_out_optional(
+            ordered_labels, rel_specs, optional
+        ):
+            new = [lb for lb in g_labels if lb not in in_plan]
+            if joined is None:
+                joined, _ = self._inner_pattern(new, g_rels, set(), class_df)
+                in_plan |= set(new)
+                continue
+            if not new and not g_rels:
+                continue
+            comp_df, attach = self._inner_pattern(new, g_rels, in_plan, class_df)
+            if attach:
+                joined = joined.join(comp_df, sorted(attach), "left")
+            else:  # optional group with no bound link (guarded upstream)
+                joined = joined.crossJoin(comp_df)
+            in_plan |= set(new)
         assert joined is not None
         return joined
+
+    def _inner_pattern(
+        self,
+        new_labels: list[str],
+        g_rels: list[RelSpec],
+        bound: set[str],
+        class_df,
+    ) -> tuple[DataFrame, set[str]]:
+        """One group's pattern as a single inner-joined DataFrame.
+
+        ``bound`` labels contribute only their ``_id_<label>`` columns
+        (via the edges that reference them) — returned as the attach keys
+        for the group's left join. Labels with no rel path inside the
+        group compose as a cross join (Cypher's comma-separated pattern)."""
+        df: DataFrame | None = None
+        pat: set[str] = set()  # labels whose _id_ column exists in df
+        attach: set[str] = set()
+        pending = list(new_labels)
+        usable = set(pending) | bound
+        rels_left = [
+            r for r in g_rels
+            if r.from_label in usable and r.to_label in usable
+        ]
+        while pending or rels_left:
+            if df is None:
+                if rels_left:
+                    r = next(
+                        (x for x in rels_left
+                         if x.from_label in pending or x.to_label in pending),
+                        rels_left[0],
+                    )
+                    rels_left.remove(r)
+                    df = self._edges_for(r)
+                    for end in (r.from_label, r.to_label):
+                        if end in pending:
+                            df = df.join(class_df(end), f"_id_{end}", "inner")
+                            pending.remove(end)
+                        elif end in bound:
+                            attach.add(f"_id_{end}")
+                        pat.add(end)
+                else:
+                    lb = pending.pop(0)
+                    df = class_df(lb)
+                    pat.add(lb)
+                continue
+            progressed = False
+            for r in list(rels_left):
+                ends = (r.from_label, r.to_label)
+                common = [x for x in ends if x in pat]
+                if not common:
+                    continue
+                rels_left.remove(r)
+                df = df.join(
+                    self._edges_for(r), [f"_id_{x}" for x in common], "inner"
+                )
+                for x in ends:
+                    if x in pat:
+                        continue
+                    if x in pending:
+                        df = df.join(class_df(x), f"_id_{x}", "inner")
+                        pending.remove(x)
+                    elif x in bound:
+                        attach.add(f"_id_{x}")
+                    pat.add(x)
+                progressed = True
+                break
+            if not progressed:
+                if pending:  # no rel path: comma-pattern cartesian
+                    lb = pending.pop(0)
+                    df = df.crossJoin(class_df(lb))
+                    pat.add(lb)
+                else:
+                    break  # leftover rels reference labels outside the plan
+        assert df is not None
+        return df, attach
 
     # the reference's full check/operator vocabulary (query_builder.py:311,322)
     REL_MODES = {"EXISTS", "NOT EXISTS", "EXISTS>", "NOT EXISTS>", "EXISTS<", "NOT EXISTS<"}

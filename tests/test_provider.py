@@ -404,3 +404,71 @@ def test_get_data_generic_knobs(spark):
     assert set(piv.columns) == {"S1", "S2"}
     row = piv.collect()[0]
     assert row["S1"] == "M" and row["S2"] == "F"
+
+
+def test_split_out_optional_reference_case3(spark):
+    """The reference's split_out_optional test case 3 verbatim
+    (tests_query_builders test_split_out_optional): two optional branches
+    sharing Visit — Visit lands in BOTH groups (bound-variable constraint)
+    and the Exposure->Visit rel is re-stated in the Vitals group."""
+    from tab2neo_spark.provider import RelSpec, _split_out_optional
+
+    labels = ["Subject", "Sex", "Exposure", "Exposure Unit", "Visit",
+              "Vitals", "Vitals Unit"]
+    labels_opt = {"Exposure", "Exposure Unit", "Visit", "Vitals", "Vitals Unit"}
+    pairs = [("Subject", "Sex"), ("Subject", "Exposure"),
+             ("Exposure", "Exposure Unit"), ("Exposure", "Visit"),
+             ("Subject", "Vitals"), ("Vitals", "Vitals Unit"),
+             ("Vitals", "Visit")]
+    rels = [RelSpec(a, b, b, optional=i > 0) for i, (a, b) in enumerate(pairs)]
+    got = _split_out_optional(labels, rels, labels_opt)
+    got_shape = [(ls, [(r.from_label, r.to_label) for r in rs]) for ls, rs in got]
+    assert got_shape == [
+        (["Subject", "Sex"], [("Subject", "Sex")]),
+        (["Exposure", "Exposure Unit", "Visit"],
+         [("Subject", "Exposure"), ("Exposure", "Exposure Unit"),
+          ("Exposure", "Visit")]),
+        (["Vitals", "Visit", "Vitals Unit"],
+         [("Subject", "Vitals"), ("Vitals", "Vitals Unit"),
+          ("Vitals", "Visit"), ("Exposure", "Visit")]),
+    ]
+
+
+def _chain_graph(spark):
+    """S -HAS-> E -HAS_U-> U where e2 has NO unit and s3 has NO exposure —
+    the shape that distinguishes atomic optional groups from sequential
+    left joins."""
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    nodes = spark.createDataFrame(
+        [(1, "S", "s1", None, None), (2, "S", "s2", None, None),
+         (3, "S", "s3", None, None),
+         (10, "E", "e1", None, None), (20, "E", "e2", None, None),
+         (100, "U", "mg", None, None)],
+        "node_id long, class string, rdfs_label string, uri string, "
+        "props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, "HAS", 10), (2, "HAS", 20), (10, "HAS_U", 100)],
+        "src long, rel_type string, dst long",
+    )
+    m = MetadataModel()
+    m.create_related_classes_from_list([["S", "E", "HAS"], ["E", "U", "HAS_U"]])
+    return DataProvider(spark, m, nodes, edges)
+
+
+def test_optional_group_is_atomic(spark):
+    """Cypher parity: OPTIONAL MATCH (s)--(e)--(u) is all-or-nothing — an
+    exposure WITHOUT a unit must yield NULL for BOTH optional columns
+    (sequential left joins would leak the partial e2 match)."""
+    dp = _chain_graph(spark)
+    got = {(r["S"], r["E"], r["U"])
+           for r in dp.get_data(["S", "E**", "U**"]).collect()}
+    assert got == {("s1", "e1", "mg"), ("s2", None, None), ("s3", None, None)}
+
+
+def test_optional_single_class_still_left_joins(spark):
+    """One-hop optional is unchanged: e-level matches survive without u."""
+    dp = _chain_graph(spark)
+    got = {(r["S"], r["E"]) for r in dp.get_data(["S", "E**"]).collect()}
+    assert got == {("s1", "e1"), ("s2", "e2"), ("s3", None)}
