@@ -196,7 +196,14 @@ class DataProvider:
         )
 
     def _edges_for(self, rel: RelSpec) -> DataFrame:
-        return self.edges.filter(F.col("rel_type") == rel.relationship_type).select(
+        # a None type matches ANY relationship (the reference's
+        # impute_relationship_type=False / type-less arrows rels)
+        e = (
+            self.edges
+            if rel.relationship_type is None
+            else self.edges.filter(F.col("rel_type") == rel.relationship_type)
+        )
+        return e.select(
             F.col("src").alias(f"_id_{rel.from_label}"),
             F.col("dst").alias(f"_id_{rel.to_label}"),
         )
@@ -281,7 +288,8 @@ class DataProvider:
             }
             bad = [
                 r for r in rel_specs
-                if (r.from_label, r.to_label, r.relationship_type) not in known
+                if r.relationship_type is not None
+                and (r.from_label, r.to_label, r.relationship_type) not in known
             ]
             if bad:
                 raise QuerySpecError(f"relationships not in the schema: {bad}")

@@ -472,3 +472,14 @@ def test_optional_single_class_still_left_joins(spark):
     dp = _chain_graph(spark)
     got = {(r["S"], r["E"]) for r in dp.get_data(["S", "E**"]).collect()}
     assert got == {("s1", "e1"), ("s2", "e2"), ("s3", None)}
+
+
+def test_typeless_rel_matches_any_relationship(spark):
+    """A rel spec without a type matches ANY relationship type between the
+    classes (the reference's impute_relationship_type=False / type-less
+    arrows rels, tests_query_builders test_get_rels_btw2 None-type rows)."""
+    dp = _chain_graph(spark)
+    got = {(r["S"], r["E"])
+           for r in dp.get_data(["S", "E"],
+                                rels=[{"from": "S", "to": "E"}]).collect()}
+    assert got == {("s1", "e1"), ("s2", "e2")}
