@@ -483,3 +483,39 @@ def test_typeless_rel_matches_any_relationship(spark):
            for r in dp.get_data(["S", "E"],
                                 rels=[{"from": "S", "to": "E"}]).collect()}
     assert got == {("s1", "e1"), ("s2", "e2")}
+
+
+def test_independent_optional_branches_match_independently(spark):
+    """Two optional branches anchored separately to the core are separate
+    groups: one matching must not depend on the other (only SHARED labels
+    couple groups)."""
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    nodes = spark.createDataFrame(
+        [(1, "S", "s1", None, None), (2, "S", "s2", None, None),
+         (10, "X", "x1", None, None), (20, "Y", "y2", None, None)],
+        "node_id long, class string, rdfs_label string, uri string, "
+        "props map<string,string>",
+    )
+    # s1 has only an X; s2 has only a Y
+    edges = spark.createDataFrame(
+        [(1, "HX", 10), (2, "HY", 20)], "src long, rel_type string, dst long"
+    )
+    m = MetadataModel()
+    m.create_related_classes_from_list([["S", "X", "HX"], ["S", "Y", "HY"]])
+    dp = DataProvider(spark, m, nodes, edges)
+    got = {(r["S"], r["X"], r["Y"])
+           for r in dp.get_data(["S", "X**", "Y**"]).collect()}
+    assert got == {("s1", "x1", None), ("s2", None, "y2")}
+
+
+def test_where_map_inside_optional_group_yields_nulls(spark):
+    """A where condition on an optional class filters INSIDE the pattern:
+    non-matching rows surface as NULLs, they are not dropped (Cypher's
+    OPTIONAL MATCH ... WHERE semantics)."""
+    dp = _chain_graph(spark)
+    got = {(r["S"], r["E"])
+           for r in dp.get_data(
+               ["S", "E**"], where_map={"E": {"rdfs:label": "e1"}}
+           ).collect()}
+    assert got == {("s1", "e1"), ("s2", None), ("s3", None)}
