@@ -176,27 +176,45 @@ class MetadataModel:
             self.propagate_terms_to_parent_class()
         return out
 
+    def _doomed_edges(
+        self, subclass_list: list[list[str]], identifier: str
+    ) -> set[tuple[str, str]]:
+        out = set()
+        for parent, child in ((e[0], e[1]) for e in subclass_list):
+            p = self._class_by_identifier(parent, identifier) or parent
+            c = self._class_by_identifier(child, identifier) or child
+            out.add((c, p))
+        return out
+
     def delete_terms_of_parent_class(
         self, subclass_list: list[list[str]], identifier: str = "label"
     ) -> int:
-        """For each ``[parent, child]``: remove from EVERY ancestor of the
-        child the terms the child also carries — undoing upward term
-        propagation (model_manager.py:317-332; runs with the SUBCLASS_OF
-        edges still in place, as in delete_subclasses' ordering). Returns
-        terms removed."""
-        closure = self.subclass_closure()
+        """Undo upward term propagation for the given ``[parent, child]``
+        edges (model_manager.py:317-332): strip the child's term keys from
+        EXACTLY the ancestors that become unreachable from the child once
+        those edges are gone — ancestors the child still reaches through
+        OTHER subclass edges keep their copies (the reference strips every
+        ancestor unconditionally, leaving multi-parent hierarchies
+        inconsistent; divergence documented). Returns terms removed."""
+        doomed = self._doomed_edges(subclass_list, identifier)
+        full = self.subclass_closure()
+        rest = self.subclass_closure(
+            [e for e in self.subclass_of if e not in doomed]
+        )
         removed = 0
-        for _parent, child in ((e[0], e[1]) for e in subclass_list):
-            c = self._class_by_identifier(child, identifier)
+        for child, _parent in doomed:
             child_keys = {
                 (t.codelist_code, t.term_code)
-                for t in self.terms if t.class_label == c
+                for t in self.terms if t.class_label == child
             }
-            ancestors = {a for ch, a, d in closure if ch == c and d > 0}
+            strip = (
+                {a for ch, a, d in full if ch == child and d > 0}
+                - {a for ch, a, d in rest if ch == child and d > 0}
+            )
             before = len(self.terms)
             self.terms = [
                 t for t in self.terms
-                if not (t.class_label in ancestors
+                if not (t.class_label in strip
                         and (t.codelist_code, t.term_code) in child_keys)
             ]
             removed += before - len(self.terms)
@@ -205,26 +223,42 @@ class MetadataModel:
     def delete_rels_of_child_class(
         self, subclass_list: list[list[str]], identifier: str = "label"
     ) -> int:
-        """For each ``[parent, child]``: remove from every DESCENDANT of
-        the parent the (type, target) relationships the parent itself
-        carries — undoing downward rel propagation
-        (model_manager.py:334-348). Returns rels removed."""
-        closure = self.subclass_closure()
+        """Undo downward rel propagation for the given ``[parent, child]``
+        edges (model_manager.py:334-348): from EXACTLY the descendants of
+        the parent that become unreachable once those edges are gone,
+        remove the direction-preserving copies of the parent's
+        relationships — outgoing (parent->T) copies as (desc->T), incoming
+        (X->parent) copies as (X->desc). (The reference deletes only
+        FROM-side patterns and ignores remaining-edge justification;
+        divergence documented.) Returns rels removed."""
+        doomed = self._doomed_edges(subclass_list, identifier)
+        full = self.subclass_closure()
+        rest = self.subclass_closure(
+            [e for e in self.subclass_of if e not in doomed]
+        )
         removed = 0
-        for parent, _child in ((e[0], e[1]) for e in subclass_list):
-            p = self._class_by_identifier(parent, identifier)
-            desc = {ch for ch, a, d in closure if a == p and d > 0}
-            type_targets = set()
-            for r in self.relationships:
-                if r.from_label == p:
-                    type_targets.add((r.relationship_type, r.to_label))
-                if r.to_label == p:
-                    type_targets.add((r.relationship_type, r.from_label))
+        for _child, parent in doomed:
+            strip = (
+                {ch for ch, a, d in full if a == parent and d > 0}
+                - {ch for ch, a, d in rest if a == parent and d > 0}
+            )
+            out_tt = {
+                (r.relationship_type, r.to_label)
+                for r in self.relationships if r.from_label == parent
+            }
+            in_tt = {
+                (r.relationship_type, r.from_label)
+                for r in self.relationships if r.to_label == parent
+            }
             before = len(self.relationships)
             self.relationships = [
                 r for r in self.relationships
-                if not (r.from_label in desc
-                        and (r.relationship_type, r.to_label) in type_targets)
+                if not (
+                    (r.from_label in strip
+                     and (r.relationship_type, r.to_label) in out_tt)
+                    or (r.to_label in strip
+                        and (r.relationship_type, r.from_label) in in_tt)
+                )
             ]
             removed += before - len(self.relationships)
         return removed
@@ -781,13 +815,18 @@ class MetadataModel:
 
     # -- closure & inference -------------------------------------------------
 
-    def subclass_closure(self) -> set[tuple[str, str, int]]:
+    def subclass_closure(
+        self, edges: list[tuple[str, str]] | None = None
+    ) -> set[tuple[str, str, int]]:
         """Transitive (child, ancestor, depth), depth<=50, incl. depth 0
-        self-pairs — replaces the Cypher ``*0..50`` traversals."""
+        self-pairs — replaces the Cypher ``*0..50`` traversals. ``edges``
+        overrides the edge set (used to compute what remains reachable
+        after hypothetically removing some SUBCLASS_OF edges)."""
+        edge_list = self.subclass_of if edges is None else edges
         closure: set[tuple[str, str, int]] = {(c, c, 0) for c in self.classes}
-        frontier = {(c, p, 1) for c, p in self.subclass_of}
+        frontier = {(c, p, 1) for c, p in edge_list}
         parents: dict[str, list[str]] = {}
-        for c, p in self.subclass_of:
+        for c, p in edge_list:
             parents.setdefault(c, []).append(p)
         while frontier:
             closure |= frontier

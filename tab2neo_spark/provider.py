@@ -113,8 +113,15 @@ def _split_out_optional(
             g_dict[0].append((lb, l_rels))
             g_lookup[lb] = 0
         elif n_to_mand == 0 and related_processed:
+            seen_groups: set[int] = set()
             for p in related_processed:
                 cur = g_lookup[p]
+                # one membership per group even with several processed
+                # neighbors there (diamond patterns): a duplicate label in
+                # one group would duplicate its columns in the join
+                if cur in seen_groups:
+                    continue
+                seen_groups.add(cur)
                 g_dict[cur].append((lb, l_rels))
                 g_lookup[lb] = cur
         else:
@@ -134,7 +141,9 @@ def _split_out_optional(
                 if (r.from_label in processed and r.to_label in processed
                         and r not in g_rels):
                     g_rels.append(r)
-        if g_labels or g_rels:
+        # group 0 (the mandatory tier) is ALWAYS emitted, even empty — the
+        # caller anchors all-optional queries on it explicitly
+        if key == 0 or g_labels or g_rels:
             out.append((g_labels, g_rels))
     return out
 
@@ -512,16 +521,22 @@ class DataProvider:
                 lb, where_map.get(lb), only_props.get(lb, ()), with_uris
             )
 
-        joined: DataFrame | None = None
+        groups = _split_out_optional(ordered_labels, rel_specs, optional)
+        (core_labels, core_rels), opt_groups = groups[0], groups[1:]
         in_plan: set[str] = set()
-        for g_labels, g_rels in _split_out_optional(
-            ordered_labels, rel_specs, optional
-        ):
-            new = [lb for lb in g_labels if lb not in in_plan]
-            if joined is None:
-                joined, _ = self._inner_pattern(new, g_rels, set(), class_df)
-                in_plan |= set(new)
-                continue
+        if core_labels:
+            joined, _ = self._inner_pattern(core_labels, core_rels, set(), class_df)
+            in_plan |= set(core_labels)
+        else:
+            # all-optional query: the first optional label anchors the plan
+            # (a leading OPTIONAL MATCH behaves like a MATCH for its own
+            # rows); its group then attaches BOUND on the anchor, so rows
+            # with no further match keep NULL tails instead of dropping
+            anchor = opt_groups[0][0][0]
+            joined = class_df(anchor)
+            in_plan.add(anchor)
+        for g_labels, g_rels in opt_groups:
+            new = [lb for lb in dict.fromkeys(g_labels) if lb not in in_plan]
             if not new and not g_rels:
                 continue
             comp_df, attach = self._inner_pattern(new, g_rels, in_plan, class_df)

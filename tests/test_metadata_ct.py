@@ -466,3 +466,46 @@ def test_delete_subclasses_cleans_propagated_artifacts():
     typee = sorted((r.from_label, r.to_label) for r in m.relationships
                    if r.relationship_type == "typeE")
     assert typee == [("class4", "class5")]
+
+
+def test_delete_subclass_keeps_artifacts_other_edges_justify():
+    """Multi-parent: C subclass of P1 AND P2; deleting only [P1, C] must
+    keep P2's inherited copy (still justified by the remaining edge)."""
+    m = MetadataModel()
+    for lb in ["P1", "P2", "C"]:
+        m.create_class(lb)
+    m.create_ct({"C": [{"Codelist Code": "cc", "Term Code": "tt"}]},
+                order_terms=False)
+    m.create_subclasses([["P1", "C"], ["P2", "C"]])
+    assert sorted(t.class_label for t in m.terms) == ["C", "P1", "P2"]
+    m.delete_subclasses([["P1", "C"]])
+    assert sorted(t.class_label for t in m.terms) == ["C", "P2"]
+    assert m.subclass_of == [("C", "P2")]
+
+    # symmetric rel case: P -> T propagated down to children C1, C2
+    m2 = MetadataModel()
+    for lb in ["P", "C1", "C2", "T"]:
+        m2.create_class(lb)
+    m2.create_relationship("P", "T", "t")
+    m2.create_subclasses([["P", "C1"], ["P", "C2"]])
+    m2.delete_subclasses([["P", "C1"]])
+    froms = sorted(r.from_label for r in m2.relationships
+                   if r.relationship_type == "t")
+    assert froms == ["C2", "P"]  # C1's inherited copy gone, C2's kept
+
+
+def test_delete_subclass_preserves_rel_direction():
+    """Incoming rels propagate as incoming copies; deletion must remove
+    the inherited (X->C) copy and must NOT delete a genuine child-owned
+    (C->X) rel of the same type."""
+    m = MetadataModel()
+    for lb in ["X", "P", "C"]:
+        m.create_class(lb)
+    m.create_relationship("X", "P", "t")     # incoming at the parent
+    m.create_subclasses([["P", "C"]])        # propagates (X->C, t)
+    assert RelSpec("X", "C", "t") in m.relationships
+    m.create_relationship("C", "X", "t")     # genuine child-owned rel
+    m.delete_subclasses([["P", "C"]])
+    assert RelSpec("X", "C", "t") not in m.relationships  # inherited: gone
+    assert RelSpec("C", "X", "t") in m.relationships      # owned: kept
+    assert RelSpec("X", "P", "t") in m.relationships      # original: kept

@@ -519,3 +519,48 @@ def test_where_map_inside_optional_group_yields_nulls(spark):
                ["S", "E**"], where_map={"E": {"rdfs:label": "e1"}}
            ).collect()}
     assert got == {("s1", "e1"), ("s2", None), ("s3", None)}
+
+
+def test_diamond_optional_pattern_no_duplicate_labels(spark):
+    """Diamond: V reachable from E and EU inside ONE group must appear in
+    that group once (previously duplicated -> AMBIGUOUS_REFERENCE)."""
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    nodes = spark.createDataFrame(
+        [(1, "S", "s1", None, None), (10, "E", "e1", None, None),
+         (20, "EU", "u1", None, None), (30, "V", "v1", None, None)],
+        "node_id long, class string, rdfs_label string, uri string, "
+        "props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, "HE", 10), (10, "HU", 20), (10, "HV", 30), (20, "UV", 30)],
+        "src long, rel_type string, dst long",
+    )
+    m = MetadataModel()
+    m.create_related_classes_from_list(
+        [["S", "E", "HE"], ["E", "EU", "HU"], ["E", "V", "HV"],
+         ["EU", "V", "UV"]]
+    )
+    dp = DataProvider(spark, m, nodes, edges)
+    got = {tuple(r) for r in dp.get_data(["S", "E**", "EU**", "V**"]).collect()}
+    assert got == {("s1", "e1", "u1", "v1")}
+
+
+def test_all_optional_query_keeps_null_tails(spark):
+    """['A**','B**']: the first optional label anchors the plan; rows with
+    no B keep a NULL tail (previously the inner pattern dropped them)."""
+    from tab2neo_spark.model.metadata import MetadataModel
+
+    nodes = spark.createDataFrame(
+        [(1, "A", "a1", None, None), (2, "A", "a2", None, None),
+         (10, "B", "b1", None, None)],
+        "node_id long, class string, rdfs_label string, uri string, "
+        "props map<string,string>",
+    )
+    edges = spark.createDataFrame([(1, "AB", 10)],
+                                  "src long, rel_type string, dst long")
+    m = MetadataModel()
+    m.create_related_classes_from_list([["A", "B", "AB"]])
+    dp = DataProvider(spark, m, nodes, edges)
+    got = {(r["A"], r["B"]) for r in dp.get_data(["A**", "B**"]).collect()}
+    assert got == {("a1", "b1"), ("a2", None)}
