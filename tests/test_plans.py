@@ -161,3 +161,37 @@ def test_token_budget_window_is_band_bounded(spark, sf_dir):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in ref.collect()
     )
+
+
+def test_hygiene_ops_are_scan_fused(spark, sf_dir):
+    """PII redaction, repetition stats, URL hygiene, BPE counting: pure
+    column expressions — ZERO Exchange, zero Python in the plan (the
+    claims docs/PLANS.md §16 makes, asserted)."""
+    from tab2neo_spark.operators.cleaning import pii_redact, repetition_stats
+    from tab2neo_spark.operators.textstats import bpe_token_count
+    from tab2neo_spark.operators.urls import normalize_url, url_domain
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for out in (
+        pii_redact(docs, "text"),
+        repetition_stats(docs, "text"),
+        bpe_token_count(docs, "text"),
+        docs.select(normalize_url(F.col("text")).alias("n"),
+                    url_domain(F.col("text")).alias("d")),
+    ):
+        plan = _plan(out)
+        assert "Exchange" not in plan, plan[:400]
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontam_probe_is_broadcast(spark, sf_dir):
+    """The benchmark side of decontamination broadcasts: the candidate
+    digest join must be a BroadcastHashJoin — the corpus side never
+    shuffles its n-grams."""
+    from tab2neo_spark.operators.decontam import ngram_collisions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 5)
+    out = ngram_collisions(docs, bench, "text", "doc_id", n=8)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
