@@ -157,6 +157,7 @@ def stratified_cap(
     id_col: str,
     cap: int,
     salt: str = "cap",
+    threshold_slack: float = 0.25,
 ) -> DataFrame:
     """At most ``cap`` rows per stratum (source/language mixing control),
     chosen DETERMINISTICALLY: rows rank by the md5 of (salt, id) inside
@@ -164,20 +165,80 @@ def stratified_cap(
     stable across runs, engines, and cluster sizes, and unbiased w.r.t.
     any data ordering.
 
-    Scale shape: one partitioned window (partitionBy = strata). Hot strata
-    are exactly the case the cap exists for; AQE skew splitting does not
-    apply to windows, so for extreme skew raise
-    ``spark.sql.shuffle.partitions`` or pre-filter with a sampled
-    hash-threshold before the exact rank."""
+    Scale shape — TWO-PHASE, so a hot stratum never funnels through one
+    window task (at 100 TB with strata = language, "en" is most of the
+    corpus; ``row_number().over(partitionBy(lang))`` alone would put all
+    of it in a single partition):
+
+    1. a per-stratum hash-threshold pre-filter: the md5 rank key is
+       uniform on [0, 2^128), so a stratum of ``n`` rows keeps its
+       cap-ranked prefix under key <= (cap/n)·(1+slack)·2^128 with
+       overwhelming probability (Chernoff: slack 0.25 at cap >= 1000 has
+       failure odds < 1e-12). One cheap ``groupBy(strata).count()`` agg
+       (metadata-scale: one row per stratum) sizes the thresholds; the
+       pre-filter itself is a scan-fused column predicate — zero extra
+       shuffle, and it discards ~(1 - cap/n) of every hot stratum BEFORE
+       the window's exchange.
+    2. the exact ``row_number`` window over the ~cap·(1+slack) survivors
+       per stratum — small, bounded partitions regardless of input skew.
+
+    Correctness is EXACT, not approximate: a deterministic guard
+    (column-pruned survivor-count check, strata+id only) detects any
+    stratum whose survivor set could miss part of the cap-ranked prefix
+    — survivor count < min(cap, n) — and falls back to the unfiltered
+    stratum for exactly those strata, so under-selection is impossible.
+    The slack auto-widens for small caps (``max(slack, sqrt(56/cap))``)
+    so the guard's fallback branch almost never materializes rows
+    (Chernoff failure odds < 1e-12 per stratum).
+    """
     rank_key = F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
-    w = (
-        Window.partitionBy(*strata_cols)
-        .orderBy(rank_key, F.col(id_col))
+    # rank-key prefix as a uniform fraction of the key space: 15 hex
+    # chars = 60 bits, plenty of resolution, fits a long exactly
+    key_frac = F.conv(F.substring(rank_key, 1, 15), 16, 10).cast("long") / F.lit(
+        float(16 ** 15)
     )
+    slack = max(threshold_slack, (56.0 / max(cap, 1)) ** 0.5)
+
+    strata = list(strata_cols)
+    counts = df.groupBy(*strata).agg(F.count("*").alias("_cap_n"))
+    # threshold per stratum: keep fraction (cap/n)·(1+slack), clamped to
+    # 1.0 — small strata (n <= cap·(1+slack)) pass everything untouched
+    thr = F.least(
+        F.lit(1.0), F.lit(float(cap)) * F.lit(1.0 + slack) / F.col("_cap_n")
+    )
+    thresholds = F.broadcast(
+        counts.select(*strata, F.col("_cap_n"), thr.alias("_cap_thr"))
+    )
+    pre = (
+        df.join(thresholds, on=strata, how="inner")
+        .filter(key_frac <= F.col("_cap_thr"))
+    )
+
+    # deterministic exactness guard: a stratum is SHORT if its survivor
+    # count fell below min(cap, n) — i.e. the threshold cut into the
+    # cap-ranked prefix. The check scans only (strata, id) columns; the
+    # short list is stratum-cardinality (metadata-scale) and broadcast.
+    surv = pre.groupBy(*strata).agg(F.count("*").alias("_cap_s"))
+    short = F.broadcast(
+        counts.join(surv, on=strata, how="left")
+        .filter(
+            F.coalesce(F.col("_cap_s"), F.lit(0))
+            < F.least(F.lit(cap), F.col("_cap_n"))
+        )
+        .select(*strata)
+    )
+    survivors = pre.join(short, on=strata, how="left_anti").unionByName(
+        df.join(thresholds, on=strata, how="inner").join(
+            short, on=strata, how="left_semi"
+        )
+    )
+
+    w = Window.partitionBy(*strata).orderBy(rank_key, F.col(id_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        survivors.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
+        .select(*df.columns)
     )
 
 

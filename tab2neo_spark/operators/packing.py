@@ -36,12 +36,35 @@ def pack_map(
     map_value_col: str,
     out_col: str = "packed",
 ) -> DataFrame:
-    """A1 map-packing: ``apoc.map.fromPairs(collect([k, v]))`` analog."""
-    return df.groupBy(*keys).agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_set(F.struct(map_key_col, map_value_col)))
-        ).alias(out_col)
+    """A1 map-packing: ``apoc.map.fromPairs(collect([k, v]))`` analog.
+
+    A map key can appear with several distinct values inside one group
+    (1:N); ``map_from_entries`` over the raw pairs would raise
+    DUPLICATED_MAP_KEY under Spark's default ``EXCEPTION`` dedup policy.
+    apoc.map.fromPairs keeps the last pair seen (row order —
+    nondeterministic); here entries are sorted ``(key, value)`` and the
+    LAST occurrence per key wins, i.e. a deterministic max-value-per-key
+    (same documented divergence as the provider path, provider.py)."""
+    entries = F.sort_array(
+        F.collect_set(
+            F.when(
+                F.col(map_key_col).isNotNull(),
+                F.struct(
+                    F.col(map_key_col).alias("key"),
+                    F.col(map_value_col).alias("value"),
+                ),
+            )
+        )
     )
+    entries = F.filter(entries, lambda x: x.isNotNull())
+    n = F.size(entries)
+    # F.get is 0-indexed and NULL (never ANSI error) out of bounds, so
+    # the i == n-1 guard composes safely with the lookahead
+    last_per_key = F.filter(
+        entries,
+        lambda x, i: (i == n - 1) | (F.get(entries, i + 1)["key"] != x["key"]),
+    )
+    return df.groupBy(*keys).agg(F.map_from_entries(last_per_key).alias(out_col))
 
 
 def disjoint_collect(df: DataFrame, cols: Sequence[str]) -> DataFrame:

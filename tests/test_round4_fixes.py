@@ -1,0 +1,95 @@
+"""Round-4 fixes: pack_map 1:N-key dedup, two-phase stratified_cap.
+
+Regression tests for VERDICT r3 "What's wrong" items 1 and 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+
+def test_pack_map_duplicate_keys_last_per_key(spark):
+    """A map key appearing with several values in one group must not raise
+    DUPLICATED_MAP_KEY; sorted-entries last-per-key wins (= deterministic
+    max value per key, the provider path's documented divergence from
+    apoc.map.fromPairs row-order)."""
+    from tab2neo_spark.operators.packing import pack_map
+
+    df = spark.createDataFrame(
+        [
+            ("g1", "k1", 1),
+            ("g1", "k1", 7),   # duplicate key, two values
+            ("g1", "k2", 3),
+            ("g2", "k1", 4),
+            ("g2", None, 9),   # NULL keys dropped, not crashed on
+        ],
+        "g string, k string, v int",
+    )
+    rows = {r["g"]: dict(r["packed"]) for r in pack_map(df, ["g"], "k", "v").collect()}
+    assert rows == {"g1": {"k1": 7, "k2": 3}, "g2": {"k1": 4}}
+
+
+def test_pack_map_empty_group_after_null_keys(spark):
+    from tab2neo_spark.operators.packing import pack_map
+
+    df = spark.createDataFrame([("g1", None, 1)], "g string, k string, v int")
+    rows = pack_map(df, ["g"], "k", "v").collect()
+    assert len(rows) == 1 and dict(rows[0]["packed"]) == {}
+
+
+def _naive_cap(df, strata, id_col, cap, salt="cap"):
+    rank_key = F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def test_stratified_cap_matches_naive_window_hot_stratum(spark):
+    """Two-phase (threshold prefilter + exact window) must return the
+    EXACT same rows as the naive single-window form — including with a
+    hot stratum 50x the cap and a stratum smaller than the cap."""
+    from tab2neo_spark.operators.corpus import stratified_cap
+
+    rows = [(f"d{i}", "en" if i % 20 else "fr") for i in range(5000)]
+    rows += [(f"tiny{i}", "xx") for i in range(3)]
+    df = spark.createDataFrame(rows, "id string, s string")
+    for cap in (1, 7, 100):
+        got = sorted(map(tuple, stratified_cap(df, ["s"], "id", cap=cap).collect()))
+        exp = sorted(map(tuple, _naive_cap(df, ["s"], "id", cap).collect()))
+        assert got == exp, f"cap={cap}: {len(got)} vs {len(exp)} rows"
+
+
+def test_stratified_cap_window_input_is_prefiltered(spark):
+    """Scale guard (VERDICT r3 #2): the exact row_number window must read
+    the thresholded survivor subset, never the raw stratum — the plan's
+    Window sits above a Filter on the broadcast per-stratum threshold, so
+    a hot stratum contributes ~cap·(1+slack) rows to the window task, not
+    its full population."""
+    from tab2neo_spark.operators.corpus import stratified_cap
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "en") for i in range(5000)], "id string, s string"
+    )
+    out = stratified_cap(df, ["s"], "id", cap=50)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    win = plan[plan.index("Window") :]
+    # below the window: the threshold predicate on the joined broadcast col
+    assert "_cap_thr" in win, plan
+    # the window is stratum-partitioned, never a global sort
+    assert "partitionBy" not in plan or "Sort [md5" not in plan.split("Window")[0]
+    # and the survivor row-count bound holds empirically: the window input
+    # (pre minus short-strata plus fallback) is tiny vs the 5000-row stratum
+    slack = max(0.25, (56.0 / 50) ** 0.5)
+    assert out.count() == 50
+    # re-derive phase-1 survivors exactly as the operator does to bound
+    # the window-stage input size
+    rank_key = F.md5(F.concat_ws("#", F.lit("cap"), F.col("id").cast("string")))
+    key_frac = F.conv(F.substring(rank_key, 1, 15), 16, 10).cast("long") / F.lit(
+        float(16**15)
+    )
+    thr = 50 * (1.0 + slack) / 5000
+    n_surv = df.filter(key_frac <= F.lit(thr)).count()
+    assert n_surv < 500, n_surv  # ~ cap·(1+slack) ≈ 103 expected, << 5000
