@@ -7,8 +7,10 @@ The canonical recipe: every training document sharing at least one
 
 Scale shape (100 TB corpus vs MB-scale benchmark):
 
-- both sides reduce to md5 **digests** of their n-grams — the join
-  shuffles 32-byte keys, never text;
+- both sides reduce to **digests** of their n-grams — the join shuffles
+  8-byte (xxhash64, default) or 32-byte (md5, oracle mode) keys, never
+  text. A 64-bit digest false-positive wrongly flags ~1e-18 of probes —
+  harmless over-dropping for a hygiene filter (see operators/hashing.py);
 - the benchmark side is tiny by definition -> its digest set broadcasts,
   so the corpus side is a map-only probe (no corpus shuffle at all when
   Catalyst picks broadcast, which the explicit ``F.broadcast`` forces);
@@ -22,8 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tab2neo_spark.operators.hashing import digest
 
-def _ngram_digests(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+
+def _ngram_digests(
+    df: DataFrame, text_col: str, id_col: str, n: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(id, digest) — one row per DISTINCT word n-gram of each document.
     Tokenization matches textstats (lower, [^a-z0-9]+ splits)."""
     words = F.filter(
@@ -35,7 +41,7 @@ def _ngram_digests(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        idx, lambda i: F.md5(F.array_join(F.slice(words, i, n), " "))
+        idx, lambda i: digest(F.array_join(F.slice(words, i, n), " "), hash_fn)
     )
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("digest")
@@ -49,12 +55,15 @@ def ngram_collisions(
     id_col: str,
     bench_id_col: str | None = None,
     n: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(corpus id, bench id, n_shared) per colliding document pair —
     the audit view (who leaked what)."""
     bench_id_col = bench_id_col or id_col
-    c = _ngram_digests(corpus, text_col, id_col, n).withColumnRenamed(id_col, "corpus_id")
-    b = _ngram_digests(bench, text_col, bench_id_col, n).withColumnRenamed(
+    c = _ngram_digests(corpus, text_col, id_col, n, hash_fn).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    b = _ngram_digests(bench, text_col, bench_id_col, n, hash_fn).withColumnRenamed(
         bench_id_col, "bench_id"
     )
     return (
@@ -71,12 +80,13 @@ def decontaminate(
     id_col: str,
     n: int = 8,
     min_shared: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Corpus rows with FEWER than ``min_shared`` distinct n-grams shared
     with ANY single benchmark document. The contaminated-id set is
     digest-probe + groupBy — corpus text never shuffles."""
     hits = (
-        ngram_collisions(corpus, bench, text_col, id_col, n=n)
+        ngram_collisions(corpus, bench, text_col, id_col, n=n, hash_fn=hash_fn)
         .filter(F.col("n_shared") >= min_shared)
         .select(F.col("corpus_id").alias(id_col))
         .distinct()

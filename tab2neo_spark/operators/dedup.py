@@ -14,34 +14,39 @@ identity only.  A 100 TB text corpus needs the full ladder:
                  majority over token hashes)
 - embedding      cosine near-dup over vector columns (see similarity.py)
 
-Hash discipline: every hash here is ``md5`` of explicit UTF-8 strings —
-portable, stable across engines (the correctness oracle recomputes the
-exact same buckets in DuckDB), deterministic across runs and cluster
-sizes.  Speed is NOT the reason to pick md5 — xxhash64 is faster — but
-cross-engine verifiability is a north-rule requirement; swap `_H` for
-xxhash64 in production deployments where the oracle isn't replayed.
+Hash discipline (operators/hashing.py): every digest is taken over an
+explicit UTF-8 string and selected by ``hash_fn`` — ``"xxhash64"``
+(default, JVM-native, 8-byte keys; the production mode — digests are the
+dominant CPU term at 100 TB) or ``"md5"`` (oracle mode: DuckDB recomputes
+the exact same buckets, which is how the gates verify value-for-value;
+deterministic across runs and cluster sizes in both modes). Exact
+identity uses the collision-safe 128-bit :func:`hashing.digest128` —
+a lone 64-bit key would spuriously merge ~1e4 distinct docs at 10^12
+rows (birthday bound).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _H(c: Column) -> Column:
-    return F.md5(c)
+from tab2neo_spark.operators.hashing import digest, digest128
 
 
 # -- exact ---------------------------------------------------------------
 
 
-def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+def dedup_exact(
+    df: DataFrame, content_col: str, id_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Keep the min-id representative per exact content value.
 
-    GroupBy on the md5 digest, not the content: the shuffle moves 32-byte
-    keys instead of document bodies."""
+    GroupBy on a short digest, not the content: the shuffle moves 16-32
+    byte keys instead of document bodies. The key is 128-bit in BOTH
+    modes (md5, or a salted xxhash64 pair) — exact identity must not
+    inherit the 64-bit birthday bound."""
     return (
-        df.withColumn("__h", _H(F.col(content_col)))
+        df.withColumn("__h", digest128(F.col(content_col), hash_fn))
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
         .drop("__h")
@@ -112,19 +117,24 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str, num_hashes: int = 8
+    shingles: DataFrame, id_col: str, num_hashes: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, seed, minhash): minhash_s = min over shingles of
-    md5(shingle || '#' || s).
+    hash(shingle || '#' || s).
 
     min() is algebraic -> partial aggregation keeps the shuffle tiny
     (num_hashes rows per doc regardless of shingle count). num_hashes
     seeds are generated by string suffixing — no RNG, identical on any
-    engine."""
+    engine. The two hash modes order values differently (numeric vs hex
+    lexicographic) so they select different — equally valid — minima;
+    candidates are mode-consistent, never mode-mixed."""
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     exploded = shingles.select(id_col, "shingle", seeds)
     return exploded.groupBy(id_col, "seed").agg(
-        F.min(_H(F.concat_ws("#", F.col("shingle"), F.col("seed")))).alias("minhash")
+        F.min(
+            digest(F.concat_ws("#", F.col("shingle"), F.col("seed")), hash_fn)
+        ).alias("minhash")
     )
 
 
@@ -135,28 +145,31 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
-    band value = md5 of the band's concatenated minhashes; docs bucket-join
-    on (band_idx, band_value). The join is equi on a digest — broadcast-able
-    per bucket, AQE-splittable when a bucket is hot (boilerplate pages)."""
+    band value = digest of the band's concatenated minhashes; docs
+    bucket-join on (band_idx, band_value). The join is equi on a digest —
+    broadcast-able per bucket, AQE-splittable when a bucket is hot
+    (boilerplate pages)."""
     sh = word_shingles(df, content_col, id_col, k)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    sig = minhash_signatures(sh, id_col, num_hashes, hash_fn)
     rows_per_band = num_hashes // bands
     banded = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         # seed order inside the band fixed by sort_array on (seed, minhash)
         .agg(
-            _H(
+            digest(
                 F.array_join(
                     F.transform(
                         F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"],
+                        lambda s: s["minhash"].cast("string"),
                     ),
                     "|",
-                )
+                ),
+                hash_fn,
             ).alias("band_val")
         )
     )
@@ -178,11 +191,14 @@ def minhash_dedup_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the full scale path:
     linear candidate generation, quadratic verification only inside
     buckets."""
-    cand = minhash_lsh_candidates(df, content_col, id_col, k, num_hashes, bands)
+    cand = minhash_lsh_candidates(
+        df, content_col, id_col, k, num_hashes, bands, hash_fn
+    )
     sh = word_shingles(df, content_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
@@ -274,6 +290,7 @@ def dedup_keep_canonical(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Corpus-dedup capstone: one canonical survivor per near-dup CLUSTER.
 
@@ -288,7 +305,7 @@ def dedup_keep_canonical(
 
     pairs = minhash_dedup_pairs(
         df, content_col, id_col, k=k, num_hashes=num_hashes,
-        bands=bands, threshold=threshold,
+        bands=bands, threshold=threshold, hash_fn=hash_fn,
     )
     comp = components_adaptive(pairs.select("a", "b"), src="a", dst="b")
     ids = df.select(F.col(id_col))

@@ -5,10 +5,11 @@ operators/dedup.py's batch LSH family).
 The batch path computes signatures with explode + groupBy (a shuffle);
 a stream cannot afford a stateful pre-aggregation per row, so here the
 ENTIRE signature is one column expression: for each seed,
-``array_min(transform(shingles, sh -> md5(sh || '#' || seed)))`` — O(|doc|
-× num_hashes) work fused into the stream's map stage, zero shuffle, no
-state beyond the final ``dropDuplicates`` keyed by the 32-byte-per-hash
-signature. Two documents with identical signatures (exact dups and
+``array_min(transform(shingles, sh -> hash(sh || '#' || seed)))`` —
+O(|doc| × num_hashes) work fused into the stream's map stage, zero
+shuffle, no state beyond the final ``dropDuplicates`` keyed by the
+signature (hash selected by ``hash_fn``: xxhash64 default / md5 oracle
+mode, operators/hashing.py). Two documents with identical signatures (exact dups and
 aggressive near-dups at k=1 shingles) collapse to the first arrival.
 
 At scale the dedup state must be bounded: a plain
@@ -29,20 +30,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tab2neo_spark.operators.hashing import digest
 
-def minhash_signature_expr(text_col: str, num_hashes: int = 8) -> Column:
+
+def minhash_signature_expr(
+    text_col: str, num_hashes: int = 8, hash_fn: str = "xxhash64"
+) -> Column:
     """One pipe-joined minhash signature per row, as a single expression.
     Tokenization (lower, [^a-z0-9]+, distinct) and hash construction
-    (md5(shingle || '#' || seed)) match operators/dedup.minhash_signatures
-    exactly, so batch and stream agree on signatures."""
+    (hash(shingle || '#' || seed)) match operators/dedup.minhash_signatures
+    exactly — same ``hash_fn`` on both sides — so batch and stream agree
+    on signatures."""
     shingles = F.array_distinct(
         F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                  lambda w: w != "")
     )
     mins = [
         F.array_min(
-            F.transform(shingles, lambda sh: F.md5(F.concat_ws("#", sh, F.lit(str(s)))))
-        )
+            F.transform(
+                shingles,
+                lambda sh: digest(F.concat_ws("#", sh, F.lit(str(s))), hash_fn),
+            )
+        ).cast("string")
         for s in range(num_hashes)
     ]
     return F.concat_ws("|", *mins)
@@ -53,6 +62,7 @@ def stream_signature_dedup(
     text_col: str,
     num_hashes: int = 8,
     within_watermark: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """First-arrival-wins signature dedup over a stream.
 
@@ -61,7 +71,7 @@ def stream_signature_dedup(
     ``within_watermark=True``: requires an upstream ``withWatermark``;
     state is evicted as signatures age out (see module docstring)."""
     sig = stream.withColumn(
-        "signature", minhash_signature_expr(text_col, num_hashes)
+        "signature", minhash_signature_expr(text_col, num_hashes, hash_fn)
     )
     if within_watermark:
         return sig.dropDuplicatesWithinWatermark(["signature"])
