@@ -898,13 +898,34 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (HLL distinct, approx quantiles) — genuinely
-    non-SQL-reproducible across engines, so no oracle (rows-only check):
-    sketch results are implementation-defined."""
+    """Sketch aggregates (HLL distinct, approx quantiles). Raw sketch
+    values are implementation-defined — never hashable cross-engine — so
+    the verifiable form brackets each sketch against the EXACT statistic
+    computed in the same aggregation: ``distinct_ok`` = HLL estimate
+    within its 3-sigma relative error (rsd 0.05 -> 15%) of the exact
+    distinct count; ``median_ok`` = approx median (accuracy 10000, rank
+    error 1e-4) inside the exact [p45, p55] value bracket. DuckDB
+    recomputes the exact columns and asserts the flags as literal true —
+    a full value-checked oracle (det_round pattern: render the tolerance
+    into the output)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.approx_count_distinct("l_partkey").alias("_ad"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("_am"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_lo"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts",
+        (
+            F.abs(F.col("_ad") - F.col("n_parts"))
+            <= F.lit(0.15) * F.col("n_parts")
+        ).alias("distinct_ok"),
+        ((F.col("_am") >= F.col("_lo")) & (F.col("_am") <= F.col("_hi"))).alias(
+            "median_ok"
+        ),
     )
 
 
@@ -1709,6 +1730,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c_acctbal), 2) AS sum_bal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_regionkey, n_name)
+        """,
+        # sketch bracket oracle: exact distinct count recomputed, sketch
+        # tolerance flags asserted as literals (the Spark side computes them
+        # against exact stats inside one aggregation — q_approx_stats)
+        "approx_stats": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey)::BIGINT AS n_parts,
+                   true AS distinct_ok,
+                   true AS median_ok
+            FROM lineitem GROUP BY l_returnflag
         """,
         "asof_join": """
             SELECT e.event_id, e.user_id, e.ts, s.signup_value

@@ -98,24 +98,84 @@ def _nearest_resize(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     return arr[ys][:, xs]
 
 
+def jpeg_dims(b: bytes) -> tuple[int | None, int | None]:
+    """(width, height) from a JPEG stream's SOFn segment — a pure header
+    walk over the public JPEG marker layout (``0xFF marker len payload``),
+    no pixel decode and no codec library. Every SOF0-SOF15 frame header
+    (except the non-frame DHT/JPG/DAC markers) carries precision(1),
+    height(2), width(2) big-endian at payload offset 2. Returns
+    ``(None, None)`` on any malformed/truncated stream rather than
+    guessing."""
+    if b[:3] != b"\xff\xd8\xff":
+        return (None, None)
+    pos, n = 2, len(b)
+    while pos + 1 < n:
+        if b[pos] != 0xFF:
+            return (None, None)  # desynced — not a marker boundary
+        while pos < n and b[pos] == 0xFF:  # fill bytes are legal padding
+            pos += 1
+        if pos >= n:
+            return (None, None)
+        marker = b[pos]
+        pos += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if marker == 0xD9 or pos + 2 > n:  # EOI / truncated
+            return (None, None)
+        seglen = int.from_bytes(b[pos : pos + 2], "big")
+        if seglen < 2:
+            return (None, None)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 7 > n:
+                return (None, None)
+            height = int.from_bytes(b[pos + 3 : pos + 5], "big")
+            width = int.from_bytes(b[pos + 5 : pos + 7], "big")
+            return (width, height)
+        if marker == 0xDA:  # SOS: entropy-coded data follows; SOF precedes it
+            return (None, None)
+        pos += seglen
+    return (None, None)
+
+
+def png_dims(b: bytes) -> tuple[int | None, int | None]:
+    """(width, height) from a PNG IHDR chunk — the first chunk is IHDR by
+    spec, width/height big-endian at bytes 16-24. Header-only, no inflate."""
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return (None, None)
+    return (
+        int.from_bytes(b[16:20], "big"),
+        int.from_bytes(b[20:24], "big"),
+    )
+
+
 def _decode_dims(b: bytes) -> tuple[int | None, int | None]:
-    """(width, height) — real for netpbm, ``(None, None)`` for formats this
-    container has no codec for. Downstream must be able to tell real
-    metadata from absent metadata, so codec-less formats report NULL dims
-    plus ``decoded = false``, never a fabricated value. Swap this for
+    """(width, height) — pixel-decoded for netpbm, header-parsed for
+    jpeg/png (:func:`jpeg_dims`/:func:`png_dims` — real values, no codec
+    needed), ``(None, None)`` for formats this container can't even
+    header-parse (wav/mp4/unknown). Downstream must be able to tell real
+    metadata from absent metadata, so unknown formats report NULL dims —
+    never a fabricated value — and ``decoded`` stays ``false`` unless the
+    PIXELS are decodable (netpbm only here). Swap this for
     ``PIL.Image.open(io.BytesIO(b)).size`` in deployment — the signature
     and all surrounding batch plumbing stay identical."""
     if b[:2] in (b"P5", b"P6"):
         arr, _ = netpbm_decode(b)
         return (arr.shape[1], arr.shape[0])
+    if b[:3] == b"\xff\xd8\xff":
+        return jpeg_dims(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_dims(b)
     return (None, None)
 
 
 def media_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
-    """Size, content hash, sniffed container format, decoded dimensions per
-    media row. Dimensions are REAL (netpbm codec) or NULL with
-    ``decoded = false`` when the container lacks the format's codec —
-    never fabricated."""
+    """Size, content hash, sniffed container format, dimensions per media
+    row. Dimensions are REAL — pixel-decoded (netpbm) or header-parsed
+    (jpeg SOFn / png IHDR) — or NULL when the format can't even be
+    header-parsed; never fabricated. ``decoded`` is strictly "pixels are
+    decodable here" (netpbm only in this container): a jpeg row carries
+    true width/height with ``decoded = false``, so downstream pixel ops
+    know the payload still needs a real codec."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -135,7 +195,11 @@ def media_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             dims = blobs.map(lambda b: _decode_dims(bytes(b)) if b else (None, None))
             out["width"] = dims.map(lambda t: t[0]).astype("Int32")
             out["height"] = dims.map(lambda t: t[1]).astype("Int32")
-            out["decoded"] = out["width"].notna()
+            # decoded = pixels decodable (netpbm), NOT merely dims known —
+            # jpeg/png rows have header-parsed dims but no pixel codec here
+            out["decoded"] = out["format"].isin(["pgm", "ppm"]) & out[
+                "width"
+            ].notna()
             yield out
 
     return df.select(id_col, bin_col).mapInPandas(batches, MEDIA_META_SCHEMA)

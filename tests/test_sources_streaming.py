@@ -79,12 +79,56 @@ def test_media_metadata_plumbing(spark):
     out = media_metadata(df, "id", "payload").orderBy("id").collect()
     assert [r["format"] for r in out] == ["png", "jpeg", "wav", "unknown"]
     assert out[0]["n_bytes"] == 108
-    # codec-less formats report NULL dims + decoded=false — NEVER a
-    # fabricated width/height downstream could mistake for real metadata
+    # malformed/truncated streams report NULL dims + decoded=false — NEVER
+    # a fabricated width/height downstream could mistake for real metadata
+    # (these payloads are magic bytes + garbage, so the header parsers must
+    # reject them rather than read junk as dimensions)
     assert all(
         r["width"] is None and r["height"] is None and r["decoded"] is False
         for r in out
     )
+
+
+def test_jpeg_png_header_dims_real(spark):
+    """Real jpeg/png dimensions come from a pure header walk (SOF0 / IHDR
+    — no codec library), while ``decoded`` stays false: dims are known,
+    pixels are not decodable in this container."""
+    from tab2neo_spark.operators.multimodal import jpeg_dims, media_metadata, png_dims
+
+    # minimal baseline JPEG: SOI + APP0(JFIF) + SOF0 for 640x480, 3 comps
+    jpeg = (
+        b"\xff\xd8"                                  # SOI
+        + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
+        + b"\xff\xc0\x00\x11\x08"                   # SOF0, len 17, precision 8
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # 3 components
+    )
+    # progressive (SOF2) variant, 31x17, behind a fill byte
+    jpeg2 = (
+        b"\xff\xd8\xff\xff"                          # SOI + fill padding
+        + b"\xc2\x00\x0b\x08"
+        + (17).to_bytes(2, "big") + (31).to_bytes(2, "big")
+        + b"\x01\x01\x11\x00"
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (800).to_bytes(4, "big") + (600).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"
+    )
+    assert jpeg_dims(jpeg) == (640, 480)
+    assert jpeg_dims(jpeg2) == (31, 17)
+    assert png_dims(png) == (800, 600)
+    df = spark.createDataFrame(
+        [("j", bytearray(jpeg)), ("p", bytearray(png))],
+        "id string, payload binary",
+    )
+    out = {r["id"]: r for r in media_metadata(df, "id", "payload").collect()}
+    assert (out["j"]["width"], out["j"]["height"]) == (640, 480)
+    assert (out["p"]["width"], out["p"]["height"]) == (800, 600)
+    assert out["j"]["format"] == "jpeg" and out["p"]["format"] == "png"
+    # dims known from headers, pixels still not decodable here
+    assert out["j"]["decoded"] is False and out["p"]["decoded"] is False
 
 
 def test_stream_kg_ingestion(spark, sf_dir, tmp_path):
