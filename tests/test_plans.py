@@ -195,3 +195,79 @@ def test_decontam_probe_is_broadcast(spark, sf_dir):
     out = ngram_collisions(docs, bench, "text", "doc_id", n=8)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
+
+
+def test_three_group_optional_readback_no_cartesian_at_sf01(spark):
+    """Optional-group scale guard (VERDICT r3 #10): a readback with THREE
+    independent optional groups must compose as per-group left joins on
+    the bound mandatory labels — never a cartesian Exchange (an unbound
+    optional branch would cross-join and explode at 100 TB). Runs at
+    sf0.1 (10x the usual test SF) as a gate-style execution, not just a
+    plan string check."""
+    from tab2neo_spark.model.metadata import MetadataModel
+    from tab2neo_spark.provider import DataProvider
+
+    sf = "/root/testdata/sf0.1"
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+
+    def _nodes(df, cls, col):
+        v = F.col(col).cast("string")
+        return df.select(v.alias("rdfs_label")).distinct().select(
+            F.xxhash64(F.lit(cls), "rdfs_label").alias("node_id"),
+            F.lit(cls).alias("class"),
+            "rdfs_label",
+            F.lit(None).cast("string").alias("uri"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    nodes = (
+        _nodes(cust, "Segment", "c_mktsegment")
+        .unionByName(_nodes(cust, "Nation", "c_nationkey"))
+        .unionByName(_nodes(nation, "Region", "n_regionkey"))
+        .unionByName(_nodes(cust, "Priority", "c_custkey"))
+    )
+
+    def _edges(df, fc, fcol, tc, tcol, rel, cond):
+        return df.filter(cond).select(
+            F.xxhash64(F.lit(fc), F.col(fcol).cast("string")).alias("src"),
+            F.lit(rel).alias("rel_type"),
+            F.xxhash64(F.lit(tc), F.col(tcol).cast("string")).alias("dst"),
+        ).distinct()
+
+    edges = (
+        # three INDEPENDENT optional branches, each anchored on the
+        # mandatory Segment tier -> three optional groups
+        _edges(cust, "Segment", "c_mktsegment", "Nation", "c_nationkey",
+               "HIGH_BAL", F.col("c_acctbal") > 9900)
+        .unionByName(
+            _edges(cust.withColumn("reg", F.col("c_nationkey") % 5),
+                   "Segment", "c_mktsegment", "Region", "reg",
+                   "SEG_REGION", F.col("c_acctbal") < -900))
+        .unionByName(
+            # single-edge branch: only one segment gets a Priority, so the
+            # other segments exercise the NULL-optional path
+            _edges(cust, "Segment", "c_mktsegment", "Priority", "c_custkey",
+                   "SEG_PRI", F.col("c_custkey") == 1))
+    )
+
+    m = MetadataModel()
+    m.create_related_classes_from_list(
+        [["Segment", "Nation", "HIGH_BAL"],
+         ["Segment", "Region", "SEG_REGION"],
+         ["Segment", "Priority", "SEG_PRI"]]
+    )
+    dp = DataProvider(spark, m, nodes, edges)
+    out = dp.get_data(["Segment", "Nation**", "Region**", "Priority**"])
+
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # every optional group attaches with LEFT OUTER semantics
+    assert plan.count("LeftOuter") >= 3
+    rows = out.collect()
+    segs = {r["rdfs_label"] for r in nodes.filter(F.col("class") == "Segment").collect()}
+    # left joins preserve every mandatory-tier row
+    assert {r["Segment"] for r in rows} == segs
+    # and at least one row carries a NULL optional branch alongside a
+    # bound one (atomic-group semantics, not inner-join collapse)
+    assert any(r["Nation"] is None or r["Priority"] is None for r in rows)

@@ -222,18 +222,41 @@ def test_stateful_streaming_sessionization(spark, tmp_path):
     assert (2, 0, 1) in got
 
 
-def test_azure_blob_path_and_reader(spark):
-    """S8: abfss URL construction + distributed-read dispatch (the reference
-    downloads to the driver; here the URL goes straight to spark.read and
-    fails only on the missing connector, not on our code)."""
+def test_azure_blob_path_and_reader(spark, tmp_path):
+    """S8: abfss URL construction + a LIVE distributed read through the
+    ``abfss://`` scheme. No blob endpoint exists in the sandbox, so the
+    scheme is backed by Hadoop's public ViewFileSystemOverloadScheme with
+    a ``file:///`` fallback mount — the identical spark.read dispatch a
+    real deployment takes, with only the filesystem impl swapped
+    (deployment: hadoop-azure's ABFS connector +
+    ``fs.azure.account.key.<account>`` credentials; no code change)."""
     from tab2neo_spark.sources.loaders import azure_blob_path, read_azure_file
 
     url = azure_blob_path("raw", "acct1", "/trial_01/sdtm")
     assert url == "abfss://raw@acct1.dfs.core.windows.net/trial_01/sdtm"
-    import pytest as _pytest
 
-    with _pytest.raises(Exception, match="(?i)abfss|filesystem|scheme|azure"):
-        read_azure_file(spark, "raw", "acct1", "trial_01", "vs.parquet").count()
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(
+        "fs.abfss.impl",
+        "org.apache.hadoop.fs.viewfs.ViewFileSystemOverloadScheme",
+    )
+    hconf.set(
+        "fs.viewfs.overload.scheme.target.file.impl",
+        "org.apache.hadoop.fs.LocalFileSystem",
+    )
+    hconf.set(
+        "fs.viewfs.mounttable.raw@acct1.dfs.core.windows.net.linkFallback",
+        "file:///",
+    )
+    try:
+        folder = str(tmp_path / "blob")
+        spark.range(25).toDF("x").write.parquet(f"{folder}/vs.parquet")
+        out = read_azure_file(spark, "raw", "acct1", folder, "vs.parquet")
+        assert out.count() == 25 and out.columns == ["x"]
+    finally:
+        # drop the mount so no other test inherits a readable abfss scheme
+        hconf.unset("fs.abfss.impl")
+        spark._jvm.org.apache.hadoop.fs.FileSystem.closeAll()
 
 
 def _ppm(w, h, seed=0):
