@@ -1117,6 +1117,18 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
                             bench_id_col="bench_doc", n=8, hash_fn="md5")
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (operators/dedup.repeated_ngram_spans):
+    every 1-based token position whose 8-token window occurs >= 2 times
+    corpus-wide — the fixed-window form of suffix-array training-data
+    dedup. One digest shuffle + join-back; text never shuffles."""
+    from tab2neo_spark.operators.dedup import repeated_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, "text", "doc_id", n=8, min_count=2,
+                                hash_fn="md5")
+
+
 # deterministic PII suffix appended to each doc for the redaction gate —
 # single source of truth for the Spark expr AND the SQL oracle
 _PII_SUFFIX_SQL = (
@@ -1315,6 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_neardup": q_stream_neardup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        # -- new this round ----------------------------------------------------
+        "repeated_spans": q_repeated_spans,
         # -- previously green, oldest verification first ----------------------
         "kg_extract_text": q_kg_extract_text,
         "kg_mentions": q_kg_mentions,
@@ -2321,6 +2335,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id AS corpus_id, b.bench_id, count(*) AS n_shared
             FROM g JOIN b USING (digest)
             GROUP BY 1, 2
+        """,
+        "repeated_spans": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(range(1, greatest(len(ws) - 8 + 2, 1))) AS start_token,
+                       ws
+                FROM w
+            ),
+            p AS (
+                SELECT doc_id, start_token,
+                       md5(array_to_string(
+                           list_slice(ws, start_token, start_token + 7), ' ')) AS dg
+                FROM g
+            ),
+            c AS (
+                SELECT dg, count(*)::BIGINT AS n_occurrences,
+                       count(DISTINCT doc_id)::BIGINT AS n_docs
+                FROM p GROUP BY dg HAVING count(*) >= 2
+            )
+            SELECT p.doc_id, p.start_token, c.n_occurrences, c.n_docs
+            FROM p JOIN c USING (dg)
         """,
         "pii_redact": _pii_oracle(),
         "url_hygiene": f"""

@@ -200,37 +200,42 @@ def stratified_cap(
     slack = max(threshold_slack, (56.0 / max(cap, 1)) ** 0.5)
 
     strata = list(strata_cols)
+    # pruned scan #1 (strata cols only): per-stratum row counts size the
+    # tentative thresholds — keep fraction (cap/n)·(1+slack), clamped to
+    # 1.0 so strata at or under the cap pass untouched
     counts = df.groupBy(*strata).agg(F.count("*").alias("_cap_n"))
-    # threshold per stratum: keep fraction (cap/n)·(1+slack), clamped to
-    # 1.0 — small strata (n <= cap·(1+slack)) pass everything untouched
     thr = F.least(
         F.lit(1.0), F.lit(float(cap)) * F.lit(1.0 + slack) / F.col("_cap_n")
     )
-    thresholds = F.broadcast(
-        counts.select(*strata, F.col("_cap_n"), thr.alias("_cap_thr"))
-    )
-    pre = (
-        df.join(thresholds, on=strata, how="inner")
-        .filter(key_frac <= F.col("_cap_thr"))
-    )
+    tentative_thr = counts.select(*strata, "_cap_n", thr.alias("_thr0"))
 
-    # deterministic exactness guard: a stratum is SHORT if its survivor
-    # count fell below min(cap, n) — i.e. the threshold cut into the
-    # cap-ranked prefix. The check scans only (strata, id) columns; the
-    # short list is stratum-cardinality (metadata-scale) and broadcast.
-    surv = pre.groupBy(*strata).agg(F.count("*").alias("_cap_s"))
-    short = F.broadcast(
-        counts.join(surv, on=strata, how="left")
-        .filter(
-            F.coalesce(F.col("_cap_s"), F.lit(0))
-            < F.least(F.lit(cap), F.col("_cap_n"))
-        )
-        .select(*strata)
+    # deterministic exactness guard (pruned scan #2, strata+id only): a
+    # stratum is SHORT if its survivor count under _thr0 fell below
+    # min(cap, n) — the threshold cut into the cap-ranked prefix. Short
+    # strata get threshold 1.0 (no filtering); everything stays lazy
+    # inside the broadcast subtree, so the FINAL plan scans df once at
+    # full width.
+    surv = (
+        df.join(F.broadcast(tentative_thr), on=strata, how="inner")
+        .filter(key_frac <= F.col("_thr0"))
+        .groupBy(*strata)
+        .agg(F.count("*").alias("_cap_s"))
     )
-    survivors = pre.join(short, on=strata, how="left_anti").unionByName(
-        df.join(thresholds, on=strata, how="inner").join(
-            short, on=strata, how="left_semi"
+    eff = (
+        tentative_thr.join(surv, on=strata, how="left")
+        .select(
+            *strata,
+            F.when(
+                F.coalesce(F.col("_cap_s"), F.lit(0))
+                < F.least(F.lit(cap), F.col("_cap_n")),
+                F.lit(1.0),
+            )
+            .otherwise(F.col("_thr0"))
+            .alias("_cap_thr"),
         )
+    )
+    survivors = df.join(F.broadcast(eff), on=strata, how="inner").filter(
+        key_frac <= F.col("_cap_thr")
     )
 
     w = Window.partitionBy(*strata).orderBy(rank_key, F.col(id_col))

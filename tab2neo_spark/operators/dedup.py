@@ -282,6 +282,64 @@ def simhash_near_pairs(
     )
 
 
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 20,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact repeated-substring detection — the fixed-window n-gram form
+    of suffix-array training-data dedup (the "remove ≥k-token substrings
+    that appear twice in the corpus" recipe): every token position whose
+    ``n``-token window occurs at least ``min_count`` times corpus-wide is
+    a repeated span. Returns ``(id, start_token, n_occurrences,
+    n_docs)`` per repeated position (1-based token index; downstream
+    merges adjacent positions into maximal spans and cuts them from the
+    training text).
+
+    Scale shape: tokenize + slide are scan-fused JVM expressions (same
+    [^a-z0-9]+ discipline as the rest of the family); ONE shuffle on the
+    8-byte window digest for the occurrence count (partial-aggregated);
+    one digest-keyed join back to positions. Text never shuffles. A
+    boilerplate window repeated millions of times is one hot digest key —
+    AQE skew-join handles the join-back, and the count side is a plain
+    aggregate (no row explosion)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+    # guard short docs: sequence(1, 0) DESCENDS (CLAUDE.md invariant)
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    span = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("start_token"),
+                digest(F.array_join(F.slice(words, i, n), " "), hash_fn).alias(
+                    "_dg"
+                ),
+            ),
+        )
+    )
+    spans = df.select(F.col(id_col), span.alias("s")).select(
+        id_col, "s.start_token", "s._dg"
+    )
+    counts = (
+        spans.groupBy("_dg")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    return spans.join(counts, "_dg").select(
+        id_col, "start_token", "n_occurrences", "n_docs"
+    )
+
+
 def dedup_keep_canonical(
     df: DataFrame,
     content_col: str,

@@ -93,3 +93,38 @@ def test_stratified_cap_window_input_is_prefiltered(spark):
     thr = 50 * (1.0 + slack) / 5000
     n_surv = df.filter(key_frac <= F.lit(thr)).count()
     assert n_surv < 500, n_surv  # ~ cap·(1+slack) ≈ 103 expected, << 5000
+
+
+def test_repeated_ngram_spans(spark):
+    """Fixed-window exact substring dedup: positions whose n-token window
+    repeats corpus-wide are flagged with occurrence/doc counts; unique
+    windows and short docs yield nothing."""
+    from tab2neo_spark.operators.dedup import repeated_ngram_spans
+
+    shared = "alpha beta gamma delta"  # 4-token window shared across docs
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} unique one filler text here"),
+            (2, f"prefix token {shared} and a tail"),
+            (3, "totally different words with no overlap at all"),
+            (4, "short doc"),  # < n tokens -> no windows
+            (5, f"{shared} zz {shared}"),  # window repeats WITHIN one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_ngram_spans(df, "text", "doc_id", n=4, min_count=2)
+    rows = {(r["doc_id"], r["start_token"]): r for r in out.collect()}
+    # the shared window appears at: doc1 pos1, doc2 pos3, doc5 pos1 + pos6
+    assert (1, 1) in rows and (2, 3) in rows and (5, 1) in rows and (5, 6) in rows
+    r = rows[(1, 1)]
+    assert r["n_occurrences"] == 4 and r["n_docs"] == 3
+    # doc3/doc4 contribute nothing; no unique window leaks through
+    assert all(k[0] in (1, 2, 5) for k in rows)
+    # md5 oracle mode returns the identical span set
+    md5_rows = {
+        (r["doc_id"], r["start_token"])
+        for r in repeated_ngram_spans(
+            df, "text", "doc_id", n=4, min_count=2, hash_fn="md5"
+        ).collect()
+    }
+    assert md5_rows == set(rows)
