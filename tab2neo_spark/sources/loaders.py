@@ -7,7 +7,9 @@ then writes rows as Source-Data-Row nodes (:124-214).  Spark-first version:
 
 - parquet/csv/json/orc go straight through ``spark.read`` (distributed,
   pushdown-capable);
-- pandas-only formats (sas7bdat, xpt, xlsx, rda) are gated behind
+- .rda/.rds are read by a pure-Python R-serialization parser
+  (sources/rdata.py) — no pyreadr needed;
+- remaining pandas-only formats (sas7bdat, xpt, xlsx) are gated behind
   import-tries and arrive via ``spark.createDataFrame(pandas_df)`` — they
   are driver-local by nature (single file, no splittable codec);
 - ``load_folder`` is a glob scan, not a python loop (:255-275);
@@ -33,7 +35,7 @@ _SPARK_FORMATS = {
     ".json": "json",
     ".orc": "orc",
 }
-_PANDAS_FORMATS = {".sas7bdat", ".xpt", ".xls", ".xlsx", ".rda"}
+_PANDAS_FORMATS = {".sas7bdat", ".xpt", ".xls", ".xlsx", ".rda", ".rds"}
 
 
 def sanitize_columns(df: DataFrame, pattern: str = COLCHARSBL) -> DataFrame:
@@ -98,11 +100,18 @@ def _read_via_pandas(spark: SparkSession, path: str, ext: str) -> DataFrame:
             pdf = pd.read_excel(path)
         except ImportError as ex:  # pragma: no cover
             raise NotImplementedError(f"Excel reader unavailable: {ex}") from ex
-    elif ext == ".rda":  # pragma: no cover
-        raise NotImplementedError(
-            "rda requires pyreadr, not in this image (reference: "
-            "file_data_loader.py:56-66); gate at call site"
-        )
+    elif ext in (".rda", ".rds"):
+        # pure-Python R serialization reader (sources/rdata.py) — the
+        # reference (file_data_loader.py:77-80) uses pyreadr and takes the
+        # FIRST object in the workspace; same semantics here
+        from tab2neo_spark.sources.rdata import read_r
+
+        objs = read_r(path)
+        if not objs:
+            raise ValueError(f"no R objects in {path}")
+        pdf = next(iter(objs.values()))
+        if not isinstance(pdf, pd.DataFrame):
+            raise ValueError(f"first R object in {path} is not a data.frame")
     else:  # pragma: no cover
         raise AssertionError(ext)
     # NaN -> '' normalization for string cols (file_data_loader.py:115-116)

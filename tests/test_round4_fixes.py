@@ -128,3 +128,78 @@ def test_repeated_ngram_spans(spark):
         ).collect()
     }
     assert md5_rows == set(rows)
+
+
+def test_rdata_roundtrip_and_loader(spark, tmp_path):
+    """Pure-Python .rda/.rds: encode -> decode round-trip of data.frames
+    (ints with NA, reals with NA/NaN, strings with NA, logicals), factor
+    decoding, and the read_file loader path (first workspace object, like
+    the reference's pyreadr usage)."""
+    import pandas as pd
+
+    from tab2neo_spark.sources.rdata import (
+        _Writer, read_r, write_rda, write_rds,
+    )
+
+    df = pd.DataFrame(
+        {
+            "STUDYID": ["s1", "s2", None, "s4"],
+            "AGE": pd.array([34, None, 51, 28], dtype="Int64"),
+            "BMI": [22.5, float("nan"), 31.0, 27.2],
+            "ACTIVE": [True, False, True, None],
+        }
+    )
+    rda = str(tmp_path / "dm.rda")
+    write_rda(rda, {"dm": df, "second": df.head(1)})
+    out = read_r(rda)
+    assert list(out) == ["dm", "second"]
+    got = out["dm"]
+    assert list(got.columns) == ["STUDYID", "AGE", "BMI", "ACTIVE"]
+    assert got["STUDYID"].tolist()[:2] == ["s1", "s2"] and got["STUDYID"][2] is None
+    # int-with-NA comes back as float+NaN — pandas inference, same as pyreadr
+    assert got["AGE"][0] == 34 and pd.isna(got["AGE"][1])
+    assert got["BMI"][2] == 31.0 and pd.isna(got["BMI"][1])  # R NA round-trips
+    assert got["ACTIVE"].tolist()[:3] == [True, False, True] and pd.isna(
+        got["ACTIVE"][3]
+    )
+
+    rds = str(tmp_path / "dm.rds")
+    write_rds(rds, df.head(2))
+    assert read_r(rds)[None]["STUDYID"].tolist() == ["s1", "s2"]
+
+    # factor column: integer codes + levels attr decode to strings
+    w = _Writer()
+    w.buf += b"X\n"
+    w.i4(2); w.i4(0x030403); w.i4(0x020300)
+    from tab2neo_spark.sources.rdata import LISTSXP, NILVALUE_SXP, VECSXP, _HAS_TAG
+    w.flags(LISTSXP, has_tag=True)
+    w.symbol("f")
+    w.flags(VECSXP, has_attr=True, is_obj=True)
+    w.i4(1)
+    # the factor vector itself carries attrs (levels, class)
+    w.flags(13, has_attr=True)  # INTSXP
+    w.i4(3)
+    for v in (2, 1, 2):
+        w.i4(v)
+    w.attr_pairlist(
+        [("levels", lambda: w.strsxp(["lo", "hi"])),
+         ("class", lambda: w.strsxp(["factor"]))]
+    )
+    w.attr_pairlist(
+        [("names", lambda: w.strsxp(["grade"])),
+         ("row.names", lambda: w.intsxp([None, -3])),
+         ("class", lambda: w.strsxp(["data.frame"]))]
+    )
+    w.flags(NILVALUE_SXP)
+    import gzip
+    fpath = str(tmp_path / "factor.rda")
+    open(fpath, "wb").write(gzip.compress(b"RDX2\n" + bytes(w.buf)))
+    assert read_r(fpath)["f"]["grade"].tolist() == ["hi", "lo", "hi"]
+
+    # loader integration: read_file -> Spark DataFrame, first object wins
+    from tab2neo_spark.sources.loaders import read_file
+
+    sdf = read_file(spark, str(tmp_path), "dm.rda")
+    assert sdf.count() == 4
+    assert set(sdf.columns) == {"STUDYID", "AGE", "BMI", "ACTIVE"}
+    assert sdf.filter(sdf.STUDYID == "s1").count() == 1
