@@ -114,6 +114,16 @@ def _read_via_pandas(spark: SparkSession, path: str, ext: str) -> DataFrame:
             raise ValueError(f"first R object in {path} is not a data.frame")
     else:  # pragma: no cover
         raise AssertionError(ext)
+    # pandas' SAS readers return CHAR columns as bytes; the reference's
+    # pyreadstat yields strings — decode (latin-1 is the SAS default) and
+    # strip the fixed-width padding
+    for c in pdf.columns:
+        if pdf[c].dtype == object and pdf[c].map(
+            lambda v: isinstance(v, bytes), na_action="ignore"
+        ).any():
+            pdf[c] = pdf[c].map(
+                lambda v: v.decode("latin-1").rstrip() if isinstance(v, bytes) else v
+            )
     # NaN -> '' normalization for string cols (file_data_loader.py:115-116)
     for c in pdf.columns:
         if pdf[c].dtype == object:

@@ -203,3 +203,79 @@ def test_rdata_roundtrip_and_loader(spark, tmp_path):
     assert sdf.count() == 4
     assert set(sdf.columns) == {"STUDYID", "AGE", "BMI", "ACTIVE"}
     assert sdf.filter(sdf.STUDYID == "s1").count() == 1
+
+
+def _xpt_bytes() -> bytes:
+    """Hand-crafted SAS transport (XPT v5) file — the format is public
+    (SAS technical note TS-140): 80-byte header records, 140-byte
+    NAMESTR variable descriptors, rows of space-padded chars + IBM
+    base-16 doubles. Lets the SAS dispatch be LIVE-tested without any
+    SAS tooling in the container."""
+    import struct
+
+    def ibm_double(x: float) -> bytes:
+        if x == 0:
+            return b"\x00" * 8
+        sign = 0x80 if x < 0 else 0
+        x = abs(x)
+        e = 0
+        while x >= 1:
+            x /= 16.0
+            e += 1
+        while x < 1 / 16.0:
+            x *= 16.0
+            e -= 1
+        frac = int(x * (1 << 56))
+        return bytes([sign | (64 + e)]) + struct.pack(">Q", frac)[1:8]
+
+    def rec(s: str) -> bytes:
+        return s.ljust(80).encode()
+
+    def pad80(b: bytes) -> bytes:
+        return b + b" " * ((-len(b)) % 80)
+
+    def namestr(ntype, varnum, length, name, pos):
+        b = struct.pack(">hhhh", ntype, 0, length, varnum)
+        b += name.ljust(8).encode() + b" " * 48
+        b += struct.pack(">hhh", 0, 0, 0) + b"  " + b" " * 8
+        b += struct.pack(">hh", 0, 0) + struct.pack(">l", pos)
+        return b + b" " * (140 - len(b))
+
+    out = bytearray()
+    out += rec("HEADER RECORD*******LIBRARY HEADER RECORD!!!!!!!"
+               "000000000000000000000000000000")
+    out += rec("SAS     SAS     SASLIB  9.4     Linux"
+               + " " * 27 + "01JAN26:00:00:00")
+    out += rec("01JAN26:00:00:00")
+    out += rec("HEADER RECORD*******MEMBER  HEADER RECORD!!!!!!!"
+               "000000000000000001600000000140")
+    out += rec("HEADER RECORD*******DSCRPTR HEADER RECORD!!!!!!!"
+               "000000000000000000000000000000")
+    out += rec("SAS     DM      SASDATA 9.4     Linux"
+               + " " * 27 + "01JAN26:00:00:00")
+    out += rec("01JAN26:00:00:00" + " " * 16 + "Demographics")
+    out += rec("HEADER RECORD*******NAMESTR HEADER RECORD!!!!!!!"
+               "000000000200000000000000000000")
+    out += pad80(namestr(2, 1, 8, "STUDYID", 0) + namestr(1, 2, 8, "AGE", 8))
+    out += rec("HEADER RECORD*******OBS     HEADER RECORD!!!!!!!"
+               "000000000000000000000000000000")
+    rows = b""
+    for sid, age in [("s1", 34.0), ("s2", 51.5), ("s3", -2.25)]:
+        rows += sid.ljust(8).encode() + ibm_double(age)
+    out += pad80(rows)
+    return bytes(out)
+
+
+def test_xpt_live_roundtrip(spark, tmp_path):
+    """S-tier SAS dispatch, live: read_file on a crafted .xpt exercises
+    pandas' built-in XPORT reader (no pyreadstat dependency), the
+    bytes->string CHAR decode, and the Spark conversion — including IBM
+    base-16 doubles with fractional and negative values."""
+    from tab2neo_spark.sources.loaders import read_file
+
+    (tmp_path / "dm.xpt").write_bytes(_xpt_bytes())
+    sdf = read_file(spark, str(tmp_path), "dm.xpt")
+    rows = {r["STUDYID"]: r["AGE"] for r in sdf.collect()}
+    assert rows == {"s1": 34.0, "s2": 51.5, "s3": -2.25}
+    # metadataonly / test_run knobs ride the same dispatch
+    assert read_file(spark, str(tmp_path), "dm.xpt", metadataonly=True).count() == 0
