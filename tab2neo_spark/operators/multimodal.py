@@ -8,10 +8,14 @@ Codec coverage is two-tier:
 - **netpbm (P5/P6) is decoded for real** — a pure-numpy codec (the format
   is a whitespace header + raw bytes), so decode, resize, and video
   frame-sampling run end-to-end with no external libraries;
-- png/jpeg/wav/mp4 are sniffed by magic bytes, but their pixel decode is
-  STUBBED behind a deterministic fake / ``NotImplementedError`` because
-  the codec libraries are not in this container — swap ``_decode_dims``
-  for PIL/libvips in deployment and nothing else changes.
+- **baseline JPEG is decoded for real** too — a from-spec pure-Python
+  codec (operators/jpeg.py: Huffman entropy decode, IDCT, 4:2:0/4:2:2
+  chroma upsampling, YCbCr->RGB) with a minimal encoder for in-container
+  round-trip tests; progressive JPEG raises NotImplementedError;
+- png/wav/mp4 are sniffed by magic bytes (png dims header-parsed), but
+  their pixel decode raises ``NotImplementedError`` because the codec
+  libraries are not in this container — swap :func:`decode_pixels` for
+  PIL/libvips in deployment and nothing else changes.
 
 Every operator is a ``mapInPandas`` batch iterator: media decode is
 CPU-heavy per-row Python work, exactly the case where Arrow-batched Python
@@ -172,9 +176,12 @@ def media_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     """Size, content hash, sniffed container format, dimensions per media
     row. Dimensions are REAL — pixel-decoded (netpbm) or header-parsed
     (jpeg SOFn / png IHDR) — or NULL when the format can't even be
-    header-parsed; never fabricated. ``decoded`` is strictly "pixels are
-    decodable here" (netpbm only in this container): a jpeg row carries
-    true width/height with ``decoded = false``, so downstream pixel ops
+    header-parsed; never fabricated. ``decoded`` is strictly "pixels were
+    decoded in THIS pass" (netpbm — the only format whose dims come from
+    an actual decode): a jpeg row carries true header-parsed width/height
+    with ``decoded = false`` even though baseline streams ARE decodable
+    via :func:`decode_pixels` (resize_images exercises that), so
+    downstream pixel ops
     know the payload still needs a real codec."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -205,19 +212,35 @@ def media_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return df.select(id_col, bin_col).mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
+def decode_pixels(b: bytes) -> np.ndarray:
+    """Decode a media payload to a uint8 pixel array: netpbm via the
+    pure-numpy codec, baseline JPEG via the from-spec pure-Python codec
+    (operators/jpeg.py — Huffman + IDCT + chroma upsampling; progressive
+    streams raise NotImplementedError). Other formats raise until
+    PIL/libvips is swapped in at deployment."""
+    raw = bytes(b)
+    if raw[:2] in (b"P5", b"P6"):
+        arr, _ = netpbm_decode(raw)
+        return arr
+    if raw[:3] == b"\xff\xd8\xff":
+        from tab2neo_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(raw)
+    raise NotImplementedError(
+        f"pixel decode of {_sniff_format(raw)!r} requires PIL/libvips "
+        "(not in this container); netpbm and baseline JPEG decode natively"
+    )
+
+
 def resize_images(df: DataFrame, id_col: str, bin_col: str,
                   width: int = 224, height: int = 224) -> DataFrame:
-    """Nearest-neighbor resize — REAL for netpbm payloads (pure numpy
-    index-gather, vectorized per image); codec-library formats raise until
-    PIL/libvips is swapped in at deployment."""
+    """Nearest-neighbor resize — REAL for netpbm AND baseline-JPEG
+    payloads (pure numpy/Python codecs, no libraries); the output
+    container is netpbm (decode-to-raw stage semantics: downstream
+    training pipelines want raw pixels, not re-encoded JPEG)."""
 
     def resize_one(b: bytes) -> bytes:
-        if bytes(b[:2]) not in (b"P5", b"P6"):
-            raise NotImplementedError(
-                f"resize of {_sniff_format(bytes(b))!r} requires PIL/libvips "
-                "(not in this container); netpbm resizes natively"
-            )
-        arr, _ = netpbm_decode(bytes(b))
+        arr = decode_pixels(b)
         return netpbm_encode(_nearest_resize(arr, width, height))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
