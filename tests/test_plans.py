@@ -271,3 +271,22 @@ def test_three_group_optional_readback_no_cartesian_at_sf01(spark):
     # and at least one row carries a NULL optional branch alongside a
     # bound one (atomic-group semantics, not inner-join collapse)
     assert any(r["Nation"] is None or r["Priority"] is None for r in rows)
+
+
+def test_repeated_spans_shuffles_digests_not_text(spark, sf_dir):
+    """repeated_ngram_spans' scale claim: the only exchanges carry the
+    position/digest stream and the count side — document text never
+    appears past its scan (no text column in any Exchange's schema)."""
+    from tab2neo_spark.operators.dedup import repeated_ngram_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repeated_ngram_spans(docs, "text", "doc_id", n=8, min_count=2)
+    plan = _optimized(out)
+    # the aggregate/join keys are the digest, never the text
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    # and the raw text column is consumed by the digest projection: it
+    # must not survive into the join output schema
+    assert "text" not in out.columns
