@@ -1117,6 +1117,35 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
                             bench_id_col="bench_doc", n=8, hash_fn="md5")
 
 
+def q_repeated_spans_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated regions (dedup.merge_repeated_spans): overlapping
+    flagged 8-gram windows chain into (doc_id, start_token, end_token)
+    spans — the gaps-and-islands collapse over per-document windows."""
+    from tab2neo_spark.operators.dedup import (
+        merge_repeated_spans, repeated_ngram_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = repeated_ngram_spans(docs, "text", "doc_id", n=8, min_count=2,
+                                 hash_fn="md5")
+    return merge_repeated_spans(spans, "doc_id", n=8)
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing weights
+    (corpus.domain_mixing_weights, alpha=0.7): per-source token shares ->
+    normalized sampling weights, det-rounded for cross-engine hashing."""
+    from tab2neo_spark.operators.corpus import domain_mixing_weights
+    from tab2neo_spark.operators.numeric import det_round
+    from tab2neo_spark.operators.textstats import token_count
+
+    docs = token_count(_t(spark, sf_dir, "documents"), "text")
+    out = domain_mixing_weights(docs, "source", "n_tokens", alpha=0.7)
+    return out.select(
+        "source", "n_docs", "n_tokens", det_round(F.col("weight"), 6).alias("weight")
+    )
+
+
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring spans (operators/dedup.repeated_ngram_spans):
     every 1-based token position whose 8-token window occurs >= 2 times
@@ -1329,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         # -- new this round ----------------------------------------------------
         "repeated_spans": q_repeated_spans,
+        "repeated_spans_merged": q_repeated_spans_merged,
+        "mix_weights": q_mix_weights,
         # -- previously green, oldest verification first ----------------------
         "kg_extract_text": q_kg_extract_text,
         "kg_mentions": q_kg_mentions,
@@ -2362,6 +2393,72 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.doc_id, p.start_token, c.n_occurrences, c.n_docs
             FROM p JOIN c USING (dg)
+        """,
+        "repeated_spans_merged": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(range(1, greatest(len(ws) - 8 + 2, 1))) AS start_token,
+                       ws
+                FROM w
+            ),
+            p AS (
+                SELECT doc_id, start_token,
+                       md5(array_to_string(
+                           list_slice(ws, start_token, start_token + 7), ' ')) AS dg
+                FROM g
+            ),
+            c AS (SELECT dg FROM p GROUP BY dg HAVING count(*) >= 2),
+            pos AS (SELECT p.doc_id, p.start_token FROM p JOIN c USING (dg)),
+            flags AS (
+                SELECT doc_id, start_token,
+                       CASE WHEN lag(start_token) OVER
+                                 (PARTITION BY doc_id ORDER BY start_token)
+                                 IS NULL
+                            OR start_token - lag(start_token) OVER
+                                 (PARTITION BY doc_id ORDER BY start_token) >= 8
+                            THEN 1 ELSE 0 END AS ns
+                FROM pos
+            ),
+            grp AS (
+                SELECT doc_id, start_token,
+                       sum(ns) OVER (PARTITION BY doc_id ORDER BY start_token)
+                           AS g
+                FROM flags
+            )
+            SELECT doc_id,
+                   min(start_token) AS start_token,
+                   max(start_token) + 7 AS end_token
+            FROM grp GROUP BY doc_id, g
+        """,
+        "mix_weights": """
+            WITH t AS (
+                SELECT source,
+                       len(list_filter(regexp_split_to_array(lower(text),
+                                                             '[^a-z0-9]+'),
+                                       x -> x <> '')) AS nt
+                FROM documents
+            ),
+            per AS (
+                SELECT source, count(*)::BIGINT AS n_docs,
+                       sum(nt)::BIGINT AS n_tokens
+                FROM t GROUP BY source
+            ),
+            tot AS (SELECT sum(n_tokens)::DOUBLE AS tt FROM per),
+            s AS (
+                SELECT source, n_docs, n_tokens,
+                       pow(n_tokens / tt, 0.7) AS pa
+                FROM per, tot
+            ),
+            z AS (SELECT sum(pa) AS zz FROM s)
+            SELECT source, n_docs, n_tokens,
+                   floor(pa / zz * 1000000.0 + 0.5) / 1000000.0 AS weight
+            FROM s, z
         """,
         "pii_redact": _pii_oracle(),
         "url_hygiene": f"""

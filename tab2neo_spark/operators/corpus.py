@@ -304,6 +304,43 @@ def pack_token_sequences(
     )
 
 
+def domain_mixing_weights(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights — the standard
+    pretraining data-mixing recipe: a domain holding share ``p_d`` of
+    corpus tokens is sampled with probability ``w_d ∝ p_d^alpha``
+    (alpha < 1 upweights small sources, alpha = 1 is natural
+    proportions). Returns ``(domain, n_docs, n_tokens, weight)`` with
+    weights summing to 1.
+
+    Scale shape: ONE partial-aggregated shuffle on the domain key; the
+    two corpus-wide totals (token sum, normalizer Z) are 1-row aggregates
+    of the domain-level result attached via broadcast cross-joins — no
+    single-partition window over the domain table (web corpora have
+    millions of domains)."""
+    per = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"), F.sum(token_col).alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    scored = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_pa", F.pow(F.col("n_tokens") / F.col("_tot"), F.lit(alpha))
+    )
+    z = scored.agg(F.sum("_pa").alias("_z"))
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            domain_col,
+            "n_docs",
+            "n_tokens",
+            (F.col("_pa") / F.col("_z")).alias("weight"),
+        )
+    )
+
+
 def select_training_corpus(
     df: DataFrame,
     text_col: str,

@@ -27,7 +27,7 @@ rows (birthday bound).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tab2neo_spark.operators.hashing import digest, digest128
@@ -337,6 +337,34 @@ def repeated_ngram_spans(
     )
     return spans.join(counts, "_dg").select(
         id_col, "start_token", "n_occurrences", "n_docs"
+    )
+
+
+def merge_repeated_spans(spans: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Collapse :func:`repeated_ngram_spans` positions into MAXIMAL spans:
+    two flagged window starts whose distance is < ``n`` overlap, so a
+    chain of near-adjacent positions is one repeated region — the unit a
+    cut-the-duplicates pass actually removes. Returns ``(id, start_token,
+    end_token)`` with ``end_token`` = last token index (1-based,
+    inclusive) covered by the final window of the chain.
+
+    Scale shape: one window partitioned by document id ordered by
+    position — per-document state only (positions per doc are bounded by
+    its token count), never a corpus-wide window. The gaps-and-islands
+    form (lag + cumulative flag sum) is the same shape as sessionize."""
+    w = Window.partitionBy(id_col).orderBy("start_token")
+    gap = F.col("start_token") - F.lag("start_token").over(w)
+    new_span = F.when(gap.isNull() | (gap >= n), 1).otherwise(0)
+    grouped = spans.select(id_col, "start_token").withColumn(
+        "_grp", F.sum(new_span).over(w)
+    )
+    return (
+        grouped.groupBy(id_col, "_grp")
+        .agg(
+            F.min("start_token").alias("start_token"),
+            (F.max("start_token") + n - 1).alias("end_token"),
+        )
+        .drop("_grp")
     )
 
 

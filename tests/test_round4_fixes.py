@@ -279,3 +279,38 @@ def test_xpt_live_roundtrip(spark, tmp_path):
     assert rows == {"s1": 34.0, "s2": 51.5, "s3": -2.25}
     # metadataonly / test_run knobs ride the same dispatch
     assert read_file(spark, str(tmp_path), "dm.xpt", metadataonly=True).count() == 0
+
+
+def test_merge_repeated_spans(spark):
+    """Gaps-and-islands collapse: overlapping window starts chain into one
+    maximal span; a gap >= n starts a new span."""
+    from tab2neo_spark.operators.dedup import merge_repeated_spans
+
+    spans = spark.createDataFrame(
+        [(1, 1), (1, 3), (1, 5), (1, 20), (2, 7)],
+        "doc_id long, start_token int",
+    ).withColumn("n_occurrences", F.lit(2)).withColumn("n_docs", F.lit(2))
+    out = sorted(
+        map(tuple, merge_repeated_spans(spans, "doc_id", n=4).collect())
+    )
+    # doc1: 1,3,5 chain (gaps < 4) -> [1, 5+3]; 20 alone -> [20, 23]
+    assert out == [(1, 1, 8), (1, 20, 23), (2, 7, 10)]
+
+
+def test_domain_mixing_weights(spark):
+    """alpha=1 gives natural token shares; alpha<1 upweights the small
+    domain; weights always sum to 1."""
+    from tab2neo_spark.operators.corpus import domain_mixing_weights
+
+    df = spark.createDataFrame(
+        [("big", 900), ("big", 900), ("small", 200)],
+        "source string, n_tokens long",
+    )
+    nat = {r["source"]: r for r in
+           domain_mixing_weights(df, "source", "n_tokens", alpha=1.0).collect()}
+    assert abs(nat["big"]["weight"] - 1800 / 2000) < 1e-9
+    assert nat["big"]["n_docs"] == 2 and nat["small"]["n_tokens"] == 200
+    tempered = {r["source"]: r["weight"] for r in
+                domain_mixing_weights(df, "source", "n_tokens", alpha=0.5).collect()}
+    assert abs(sum(tempered.values()) - 1.0) < 1e-9
+    assert tempered["small"] > nat["small"]["weight"]  # upweighted
