@@ -232,8 +232,33 @@ class GraphStore:
             hist[rel] = pq.ParquetFile(f).metadata.num_rows
         return hist
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+    def read(self, table: str, as_of_run: str | None = None) -> DataFrame:
+        """Read a table, optionally AS OF a run — the Iceberg
+        time-travel analog over this store's checkpoint lineage: the
+        visible rows are those of surviving runs whose last commit on
+        this table happened at or before ``as_of_run``'s last commit
+        (checkpoint ``ts``). The visible-run set is metadata-scale, so
+        it renders as an ``isin`` literal the scan filters on.
+
+        Divergence from real Iceberg (documented, inherent to plain
+        parquet): a ROLLED-BACK run's rows are physically rewritten away,
+        so time travel sees append history only — it cannot resurrect
+        rows a rollback removed; Iceberg's snapshot manifests can."""
+        df = self.spark.read.parquet(self.path(table))
+        if as_of_run is None:
+            return df
+        commit_ts: dict[str, float] = {}
+        for rec in self.checkpoints():
+            if rec.get("table") == table and rec.get("status") == "done":
+                rid = rec["run_id"]
+                commit_ts[rid] = max(commit_ts.get(rid, 0.0), rec.get("ts", 0.0))
+        if as_of_run not in commit_ts:
+            raise ValueError(
+                f"run {as_of_run!r} has no surviving commit on table {table!r}"
+            )
+        cutoff = commit_ts[as_of_run]
+        visible = sorted(r for r, t in commit_ts.items() if t <= cutoff)
+        return df.filter(F.col("run_id").isin(visible))
 
     # -- bucketed layout (co-located joins at rest) ----------------------------
 

@@ -331,15 +331,33 @@ class _Writer:
         for c in df.columns:
             s = df[c]
             vals = [None if pd.isna(v) else v for v in s.tolist()]
-            if s.dtype.kind in ("i", "u") or (
-                s.dtype == object and all(isinstance(v, (int, type(None))) for v in vals)
-                and any(isinstance(v, int) for v in vals)
-            ):
+            nn = [v for v in vals if v is not None]
+            kind = s.dtype.kind
+            if kind == "O" and nn:
+                # object columns: classify by values (bool before int —
+                # Python bool subclasses int); ints past the 32-bit R
+                # integer range demote to REALSXP
+                if all(isinstance(v, (bool, np.bool_)) for v in nn):
+                    kind = "b"
+                elif all(
+                    isinstance(v, (int, np.integer))
+                    and not isinstance(v, (bool, np.bool_))
+                    and -(2**31) < v < 2**31
+                    for v in nn
+                ):
+                    kind = "i"
+                elif all(
+                    isinstance(v, (int, float, np.integer, np.floating))
+                    and not isinstance(v, (bool, np.bool_))
+                    for v in nn
+                ):
+                    kind = "f"
+            if kind in ("i", "u"):
                 self.intsxp(vals)
-            elif s.dtype.kind == "f":
+            elif kind == "f":
                 self.realsxp(vals)
-            elif s.dtype.kind == "b":
-                self.lglsxp(vals)
+            elif kind == "b":
+                self.lglsxp([None if v is None else bool(v) for v in vals])
             else:
                 self.strsxp([None if v is None else str(v) for v in vals])
         names = [str(c) for c in df.columns]
