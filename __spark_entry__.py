@@ -1367,11 +1367,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_map": q_kg_canonical_map,
         "kg_entity_degree": q_kg_entity_degree,
         "kg_pagerank": q_kg_pagerank,
+        # ---- 50-row cap boundary (driver gates the first 50 entries) --------
+        # everything below has a green r3 row (or replica coverage) and is
+        # re-verifiable any time via tools/check_correctness.py
         "kg_readback_join": q_kg_readback_join,
         "refactor_nodes": q_refactor_nodes,
         "pipeline_derive": q_pipeline_derive,
         "stream_window": q_stream_window,
-        # ---- 50-row cap boundary (driver gates the first 50) ----------------
         "set_ops": q_set_ops,
         "pivot": q_pivot,
         "disjoint_collect": q_disjoint_collect,

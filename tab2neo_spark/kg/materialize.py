@@ -336,9 +336,15 @@ class GraphStore:
                 writer = writer.partitionBy(*parts)
             writer.parquet(tmp)
             self._swap_dirs(tmp, path)
+        # only the checkpoints of the ROLLED-BACK tables flip status: a
+        # partial rollback (subset of tables) must keep the other tables'
+        # commits visible — time-travel reads (read(as_of_run=...)) derive
+        # visibility from per-table checkpoint status
+        rolled = set(tables)
         for rec in self.checkpoints(run_id):
-            rec["status"] = "rolled_back"
-            self.write_checkpoint(run_id, rec["stage"], rec)
+            if rec.get("table") in rolled:
+                rec["status"] = "rolled_back"
+                self.write_checkpoint(run_id, rec["stage"], rec)
 
     def rollback_action(self, run_id: str, action_idx: int, tables: list[str]) -> None:
         """Per-action rollback (the reference's Changes-node inverse,

@@ -203,10 +203,17 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved per-component) baseline "
+                    "JPEG not supported — expected one interleaved scan"
+                )
             scan_sel = {}
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_sel[cs] = (tables >> 4, tables & 0xF)
+            if set(scan_sel) != {c["id"] for c in frame["comps"]}:
+                raise ValueError("SOS component ids do not match SOF")
             pos += seglen
             return _decode_scan(
                 b, pos, frame, scan_sel, qt, dc, ac, restart_interval
@@ -217,6 +224,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
 def _decode_scan(b, pos, frame, scan_sel, qt, dc, ac, restart_interval):
     comps = frame["comps"]
     h_img, w_img = frame["h"], frame["w"]
+    if len(comps) == 1:
+        # T.81 A.2.2/A.2.3: a single-component scan is NON-interleaved —
+        # one data unit per MCU in raster order over the component's own
+        # block grid, whatever sampling factors the SOF declares (some
+        # encoders keep h=v=2 on grayscale converted from subsampled
+        # color; interpreting that as a 4-block MCU garbles the image)
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w_img // (8 * hmax))

@@ -56,7 +56,8 @@ def pack_map(
             )
         )
     )
-    entries = F.filter(entries, lambda x: x.isNotNull())
+    # (no null-entry filter needed: collect_set already drops the NULL
+    # the when() produces for null-key rows)
     n = F.size(entries)
     # F.get is 0-indexed and NULL (never ANSI error) out of bounds, so
     # the i == n-1 guard composes safely with the lookahead

@@ -130,6 +130,16 @@ class _Reader:
         if t == GLOBALENV_SXP:
             self.refs.append("<globalenv>")
             return "<globalenv>"
+        if t == ALTREP_SXP:
+            # ALTREP record (R >= 3.5 serialization): info pairlist
+            # (class symbol, package symbol, type int), then the class-
+            # specific state object, then attributes. Real R writes e.g.
+            # df$id <- 1:n as a compact_intseq — without this, every
+            # modern .rda with a sequence column would fail to load.
+            info = self.item()
+            state = self.item()
+            attr = self.item()
+            return self._altrep(info, state, attr)
         if t == CHARSXP:
             n = self.i4()
             if n == -1:
@@ -180,6 +190,35 @@ class _Reader:
             for tag, val in pl or []:
                 if tag is not None:
                     attrs[tag] = val
+        return _RObj(out, attrs) if attrs else out
+
+
+    def _altrep(self, info: Any, state: Any, attr: Any) -> Any:
+        cls = None
+        if isinstance(info, list) and info:
+            cls = info[0][1]  # class symbol printname
+        if cls in ("compact_intseq", "compact_realseq"):
+            n, start, step = (_plain(state) + [None, None, None])[:3]
+            seq = [start + i * step for i in range(int(n))]
+            out = [int(v) for v in seq] if cls == "compact_intseq" else seq
+        elif cls in ("wrap_integer", "wrap_real", "wrap_logical",
+                     "wrap_string", "wrap_complex"):
+            # state = CONS(payload, wrap metadata)
+            out = _plain(state[0][1]) if isinstance(state, list) else _plain(state)
+        elif cls == "deferred_string":
+            payload = state[0][1] if isinstance(state, list) else state
+            vals = _plain(payload)
+            if not all(v is None or isinstance(v, int) for v in vals):
+                raise NotImplementedError(
+                    "deferred_string over non-integer payload"
+                )
+            out = [None if v is None else str(v) for v in vals]
+        else:
+            raise NotImplementedError(f"ALTREP class {cls!r} not supported")
+        attrs: dict[str, Any] = {}
+        for tag, val in (attr or []):
+            if tag is not None:
+                attrs[tag] = val
         return _RObj(out, attrs) if attrs else out
 
 
@@ -352,6 +391,13 @@ class _Writer:
                     for v in nn
                 ):
                     kind = "f"
+            if kind in ("i", "u") and any(
+                v is not None and not (-(2**31) < v < 2**31) for v in vals
+            ):
+                # R integers are 32-bit (and -2^31 is the NA sentinel):
+                # out-of-range values demote the whole column to REALSXP,
+                # mirroring R's own int64 handling
+                kind = "f"
             if kind in ("i", "u"):
                 self.intsxp(vals)
             elif kind == "f":
