@@ -31,10 +31,38 @@ def _ngram_digests(
     df: DataFrame, text_col: str, id_col: str, n: int, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """(id, digest) — one row per DISTINCT word n-gram of each document.
-    Tokenization matches textstats (lower, [^a-z0-9]+ splits)."""
+    Tokenization matches textstats (lower, [^a-z0-9]+ splits).
+
+    xxhash64 mode digests by HASH COMBINATION: each word hashes once
+    into a materialized array column, and an n-gram's digest is
+    xxhash64 over its n word-hash longs — no per-position string
+    building (the ``array_join(slice(...))`` form allocates an
+    n-word string per position, which measured 7-9x slower than the
+    combine at sf0.1). The projection boundary around ``_wh`` is
+    LOAD-BEARING: inlined, Catalyst re-evaluates the whole word-hash
+    transform once per element_at and the plan goes O(len·n) ->
+    O(len²). md5 mode keeps the string form — the DuckDB oracle must
+    reproduce digests exactly."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != ""
     )
+    if hash_fn == "xxhash64":
+        step = df.select(
+            F.col(id_col),
+            F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"),
+        )
+        idx = F.when(
+            F.size("_wh") >= n, F.sequence(F.lit(1), F.size("_wh") - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("_wh"), i + j) for j in range(n)]
+            ),
+        )
+        return step.select(
+            F.col(id_col), F.explode(F.array_distinct(grams)).alias("digest")
+        )
     # guard short docs: sequence(1, 0) would DESCEND ([1, 0]) and slice at
     # index 0 errors — a doc with < n words simply has no n-grams
     idx = F.when(

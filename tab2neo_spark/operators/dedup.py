@@ -131,11 +131,15 @@ def minhash_signatures(
     candidates are mode-consistent, never mode-mixed."""
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     exploded = shingles.select(id_col, "shingle", seeds)
-    return exploded.groupBy(id_col, "seed").agg(
-        F.min(
-            digest(F.concat_ws("#", F.col("shingle"), F.col("seed")), hash_fn)
-        ).alias("minhash")
-    )
+    if hash_fn == "xxhash64":
+        # hash the shingle once, combine with the seed numerically — the
+        # construction the streaming signature expression shares (it must:
+        # batch and stream signatures are asserted identical), where it
+        # saves a factor of num_hashes in text hashing
+        h = F.xxhash64(F.xxhash64(F.col("shingle")), F.col("seed"))
+    else:
+        h = digest(F.concat_ws("#", F.col("shingle"), F.col("seed")), hash_fn)
+    return exploded.groupBy(id_col, "seed").agg(F.min(h).alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -309,22 +313,35 @@ def repeated_ngram_spans(
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
     )
+    if hash_fn == "xxhash64":
+        # hash-combine form (see decontam._ngram_digests: 7-9x cheaper
+        # than per-position string building; the _wh projection boundary
+        # is load-bearing against Catalyst re-inlining)
+        base = df.select(
+            F.col(id_col),
+            F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"),
+        )
+        ngram = lambda i: F.xxhash64(  # noqa: E731
+            *[F.element_at(F.col("_wh"), i + j) for j in range(n)]
+        )
+        src_col = "_wh"
+    else:
+        base = df.select(F.col(id_col), words.alias("_ws"))
+        ngram = lambda i: digest(  # noqa: E731
+            F.array_join(F.slice(F.col("_ws"), i, n), " "), hash_fn
+        )
+        src_col = "_ws"
     # guard short docs: sequence(1, 0) DESCENDS (CLAUDE.md invariant)
     idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
+        F.size(src_col) >= n, F.sequence(F.lit(1), F.size(src_col) - n + 1)
     ).otherwise(F.array().cast("array<int>"))
     span = F.explode(
         F.transform(
             idx,
-            lambda i: F.struct(
-                i.alias("start_token"),
-                digest(F.array_join(F.slice(words, i, n), " "), hash_fn).alias(
-                    "_dg"
-                ),
-            ),
+            lambda i: F.struct(i.alias("start_token"), ngram(i).alias("_dg")),
         )
     )
-    spans = df.select(F.col(id_col), span.alias("s")).select(
+    spans = base.select(F.col(id_col), span.alias("s")).select(
         id_col, "s.start_token", "s._dg"
     )
     counts = (

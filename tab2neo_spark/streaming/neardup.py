@@ -45,6 +45,29 @@ def minhash_signature_expr(
         F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                  lambda w: w != "")
     )
+    if hash_fn == "xxhash64":
+        # hash each shingle ONCE, then combine with every seed — without
+        # the sharing, the stream's map stage hashes the text num_hashes
+        # times. The transform-over-a-1-element-array binds the word-hash
+        # array to a lambda variable so it is evaluated once per row
+        # (referencing it num_hashes times through a plain subexpression
+        # would be re-inlined by Catalyst — same load-bearing boundary as
+        # decontam._ngram_digests). Construction = batch
+        # minhash_signatures' xxhash64 mode exactly.
+        wh = F.transform(shingles, lambda sh: F.xxhash64(sh))
+        sig = F.transform(
+            F.array(wh),
+            lambda a: F.concat_ws(
+                "|",
+                *[
+                    F.array_min(
+                        F.transform(a, lambda h: F.xxhash64(h, F.lit(s)))
+                    ).cast("string")
+                    for s in range(num_hashes)
+                ],
+            ),
+        )
+        return F.element_at(sig, 1)
     mins = [
         F.array_min(
             F.transform(
