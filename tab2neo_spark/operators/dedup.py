@@ -385,6 +385,59 @@ def merge_repeated_spans(spans: DataFrame, id_col: str, n: int) -> DataFrame:
     )
 
 
+def remove_repeated_regions(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 20,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The cut step of substring dedup: drop every token covered by a
+    maximal repeated region (:func:`repeated_ngram_spans` ->
+    :func:`merge_repeated_spans`) and return the surviving normalized
+    token stream — ``(id, kept_text, n_kept, n_removed)``. Documents with
+    no repeats pass through whole.
+
+    Scale shape: the span list per document is tiny (bounded by
+    token_count/n), collected per doc and joined back — the coverage test
+    itself is a fused array expression (``filter`` + ``exists`` over the
+    span array), no extra shuffle beyond the span pipeline's own. Output
+    text is the lowercase [^a-z0-9]+ token stream (the unit the digests
+    are defined over) — raw-byte-preserving cuts would need char offsets,
+    which the normalized tokenization deliberately discards."""
+    spans = merge_repeated_spans(
+        repeated_ngram_spans(df, text_col, id_col, n, min_count, hash_fn),
+        id_col,
+        n,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_token", "end_token")).alias("_spans")
+    )
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+    joined = df.join(per_doc, on=id_col, how="left").select(
+        F.col(id_col),
+        words.alias("_ws"),
+        F.coalesce(
+            F.col("_spans"),
+            F.array().cast("array<struct<start_token:int,end_token:int>>"),
+        ).alias("_spans"),
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — 1-based token position i
+        F.col("_spans"),
+        lambda s: (i >= s["start_token"]) & (i <= s["end_token"]),
+    )
+    kept = F.filter(F.col("_ws"), lambda w, i: ~covered(i + 1))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("kept_text"),
+        F.size(kept).alias("n_kept"),
+        (F.size("_ws") - F.size(kept)).alias("n_removed"),
+    )
+
+
 def dedup_keep_canonical(
     df: DataFrame,
     content_col: str,

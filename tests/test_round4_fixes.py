@@ -405,3 +405,26 @@ def test_rdata_altrep_and_int64():
         edge = pd.DataFrame({"x": pd.Series([-(2**31)], dtype="int64")})
         write_rds(path, edge)
         assert read_r(path)[None]["x"].tolist() == [float(-(2**31))]
+
+
+def test_remove_repeated_regions(spark):
+    """Cut step: tokens inside maximal repeated regions vanish; unique
+    documents pass through whole; counts reconcile."""
+    from tab2neo_spark.operators.dedup import remove_repeated_regions
+
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} keep one two three"),
+            (2, f"zero {shared} tail words here"),
+            (3, "entirely unique document text with no repeats"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_repeated_regions(df, "text", "doc_id", n=4, min_count=2).collect()}
+    assert out[1]["kept_text"] == "keep one two three"
+    assert out[2]["kept_text"] == "zero tail words here"
+    assert out[3]["kept_text"].startswith("entirely unique")
+    assert out[3]["n_removed"] == 0
+    assert out[1]["n_removed"] == 4 and out[1]["n_kept"] == 4
