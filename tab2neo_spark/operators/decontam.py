@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tab2neo_spark.operators.hashing import digest
+from tab2neo_spark.operators.hashing import (
+    digest,
+    ngram_digest,
+    ngram_positions,
+    word_hashes,
+)
 
 
 def _ngram_digests(
@@ -47,18 +52,10 @@ def _ngram_digests(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != ""
     )
     if hash_fn == "xxhash64":
-        step = df.select(
-            F.col(id_col),
-            F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"),
-        )
-        idx = F.when(
-            F.size("_wh") >= n, F.sequence(F.lit(1), F.size("_wh") - n + 1)
-        ).otherwise(F.array().cast("array<int>"))
+        step = df.select(F.col(id_col), word_hashes(words).alias("_wh"))
         grams = F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                *[F.element_at(F.col("_wh"), i + j) for j in range(n)]
-            ),
+            ngram_positions(F.col("_wh"), n),
+            lambda i: ngram_digest(F.col("_wh"), i, n),
         )
         return step.select(
             F.col(id_col), F.explode(F.array_distinct(grams)).alias("digest")

@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tab2neo_spark.operators.hashing import digest, digest128
+from tab2neo_spark.operators.hashing import (
+    digest,
+    digest128,
+    ngram_digest,
+    ngram_positions,
+    word_hashes,
+)
 
 
 # -- exact ---------------------------------------------------------------
@@ -130,14 +136,19 @@ def minhash_signatures(
     lexicographic) so they select different — equally valid — minima;
     candidates are mode-consistent, never mode-mixed."""
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    exploded = shingles.select(id_col, "shingle", seeds)
     if hash_fn == "xxhash64":
-        # hash the shingle once, combine with the seed numerically — the
-        # construction the streaming signature expression shares (it must:
-        # batch and stream signatures are asserted identical), where it
-        # saves a factor of num_hashes in text hashing
-        h = F.xxhash64(F.xxhash64(F.col("shingle")), F.col("seed"))
+        # hash each shingle's TEXT once (projection before the seed
+        # explode — post-explode it would re-hash num_hashes times),
+        # combine with the seed numerically: the same construction the
+        # streaming signature expression uses, so batch and stream
+        # signatures stay asserted-identical
+        pre = shingles.select(
+            id_col, F.xxhash64(F.col("shingle")).alias("_sh")
+        )
+        exploded = pre.select(id_col, "_sh", seeds)
+        h = F.xxhash64(F.col("_sh"), F.col("seed"))
     else:
+        exploded = shingles.select(id_col, "shingle", seeds)
         h = digest(F.concat_ws("#", F.col("shingle"), F.col("seed")), hash_fn)
     return exploded.groupBy(id_col, "seed").agg(F.min(h).alias("minhash"))
 
@@ -293,6 +304,7 @@ def repeated_ngram_spans(
     n: int = 20,
     min_count: int = 2,
     hash_fn: str = "xxhash64",
+    digest_bits: int = 64,
 ) -> DataFrame:
     """Exact repeated-substring detection — the fixed-window n-gram form
     of suffix-array training-data dedup (the "remove ≥k-token substrings
@@ -314,15 +326,15 @@ def repeated_ngram_spans(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
     )
     if hash_fn == "xxhash64":
-        # hash-combine form (see decontam._ngram_digests: 7-9x cheaper
+        # hash-combine form (operators/hashing.py helpers: 7-9x cheaper
         # than per-position string building; the _wh projection boundary
-        # is load-bearing against Catalyst re-inlining)
-        base = df.select(
-            F.col(id_col),
-            F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"),
-        )
-        ngram = lambda i: F.xxhash64(  # noqa: E731
-            *[F.element_at(F.col("_wh"), i + j) for j in range(n)]
+        # is load-bearing against Catalyst re-inlining). digest_bits=128
+        # (salted pair) for callers whose decision is DESTRUCTIVE
+        # (remove_repeated_regions) — a lone 64-bit key spuriously
+        # collides at 1e12 positions.
+        base = df.select(F.col(id_col), word_hashes(words).alias("_wh"))
+        ngram = lambda i: ngram_digest(  # noqa: E731
+            F.col("_wh"), i, n, bits=digest_bits
         )
         src_col = "_wh"
     else:
@@ -331,10 +343,7 @@ def repeated_ngram_spans(
             F.array_join(F.slice(F.col("_ws"), i, n), " "), hash_fn
         )
         src_col = "_ws"
-    # guard short docs: sequence(1, 0) DESCENDS (CLAUDE.md invariant)
-    idx = F.when(
-        F.size(src_col) >= n, F.sequence(F.lit(1), F.size(src_col) - n + 1)
-    ).otherwise(F.array().cast("array<int>"))
+    idx = ngram_positions(F.col(src_col), n)
     span = F.explode(
         F.transform(
             idx,
@@ -392,6 +401,7 @@ def remove_repeated_regions(
     n: int = 20,
     min_count: int = 2,
     hash_fn: str = "xxhash64",
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """The cut step of substring dedup: drop every token covered by a
     maximal repeated region (:func:`repeated_ngram_spans` ->
@@ -399,15 +409,25 @@ def remove_repeated_regions(
     token stream — ``(id, kept_text, n_kept, n_removed)``. Documents with
     no repeats pass through whole.
 
-    Scale shape: the span list per document is tiny (bounded by
-    token_count/n), collected per doc and joined back — the coverage test
-    itself is a fused array expression (``filter`` + ``exists`` over the
-    span array), no extra shuffle beyond the span pipeline's own. Output
+    Scale shape: the span list per document is tiny (a few ints per
+    doc-with-repeats); with ``broadcast_spans=True`` (default) it joins
+    back as a BROADCAST side so the corpus text NEVER shuffles
+    (plan-tested). When the span table outgrows broadcast limits (a
+    corpus where most documents carry repeats), pass False and accept
+    one co-partitioning shuffle of (id, spans)+(id, text) — at that
+    point moving the text is inherent to the cut. The coverage test is
+    a fused array expression computed ONCE behind a projection boundary
+    (Catalyst does not CSE lambda expressions). Output
     text is the lowercase [^a-z0-9]+ token stream (the unit the digests
     are defined over) — raw-byte-preserving cuts would need char offsets,
     which the normalized tokenization deliberately discards."""
     spans = merge_repeated_spans(
-        repeated_ngram_spans(df, text_col, id_col, n, min_count, hash_fn),
+        repeated_ngram_spans(
+            df, text_col, id_col, n, min_count, hash_fn,
+            # the cut is DESTRUCTIVE: 128-bit digests so a 64-bit birthday
+            # collision can never delete unique text (hashing.ngram_digest)
+            digest_bits=128,
+        ),
         id_col,
         n,
     )
@@ -417,6 +437,8 @@ def remove_repeated_regions(
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
     )
+    if broadcast_spans:
+        per_doc = F.broadcast(per_doc)
     joined = df.join(per_doc, on=id_col, how="left").select(
         F.col(id_col),
         words.alias("_ws"),
@@ -429,12 +451,19 @@ def remove_repeated_regions(
         F.col("_spans"),
         lambda s: (i >= s["start_token"]) & (i <= s["end_token"]),
     )
-    kept = F.filter(F.col("_ws"), lambda w, i: ~covered(i + 1))
-    return joined.select(
+    # the O(tokens x spans) coverage scan runs ONCE: _kept sits behind a
+    # projection boundary so the three outputs below don't re-expand it
+    # (Catalyst does not CSE lambda-bearing expressions — CLAUDE.md)
+    kept_step = joined.select(
         F.col(id_col),
-        F.array_join(kept, " ").alias("kept_text"),
-        F.size(kept).alias("n_kept"),
-        (F.size("_ws") - F.size(kept)).alias("n_removed"),
+        F.size("_ws").alias("_n_all"),
+        F.filter(F.col("_ws"), lambda w, i: ~covered(i + 1)).alias("_kept"),
+    )
+    return kept_step.select(
+        F.col(id_col),
+        F.array_join("_kept", " ").alias("kept_text"),
+        F.size("_kept").alias("n_kept"),
+        (F.col("_n_all") - F.size("_kept")).alias("n_removed"),
     )
 
 

@@ -58,3 +58,49 @@ def digest128(c: Column, hash_fn: str = "xxhash64") -> Column:
             F.xxhash64(F.lit("tab2neo#2"), c).alias("h2"),
         )
     raise ValueError(f"hash_fn must be one of {HASH_FNS}, got {hash_fn!r}")
+
+
+# -- hash-combine n-gram digests (shared by decontam / repeated-span ops) ----
+#
+# The combine form beats per-position string building 7-9x (docs/PLANS.md
+# §17), but TWO Catalyst facts are load-bearing for every caller:
+#   1. the word-hash array from :func:`word_hashes` MUST sit behind a
+#      projection boundary (an extra ``select``) before :func:`ngram_digest`
+#      references it — inlined, Catalyst re-evaluates the whole transform
+#      once per element_at and the pass goes O(len·n) -> O(len²);
+#   2. in single-expression contexts, bind the array through
+#      ``transform(array(wh), a -> ...)`` instead (lambda variables are
+#      evaluated once; repeated subexpressions are re-inlined).
+
+
+def word_hashes(words: Column) -> Column:
+    """Per-word xxhash64 array — compute ONCE per row, materialize behind
+    a projection boundary, then combine n-grams from it."""
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def ngram_positions(arr: Column, n: int) -> Column:
+    """1-based n-gram start positions; empty for short rows (guards the
+    sequence(1, 0)-DESCENDS Spark footgun)."""
+    return F.when(
+        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def ngram_digest(arr: Column, i: Column, n: int, bits: int = 64) -> Column:
+    """Digest of the n-gram starting at 1-based position ``i`` of a
+    word-hash array: xxhash64 over its n longs. ``bits=128`` returns a
+    salted struct pair — REQUIRED whenever the digest drives a
+    DESTRUCTIVE decision (cutting text, merging identities): a lone
+    64-bit key spuriously collides ~1e4 times at 1e12 positions
+    (birthday bound); reporting-only paths may keep 64."""
+    parts = [F.element_at(arr, i + j) for j in range(n)]
+    h1 = F.xxhash64(*parts)
+    if bits == 64:
+        return h1
+    if bits == 128:
+        return F.struct(
+            h1.alias("h1"),
+            F.xxhash64(F.lit("tab2neo#2"), *parts).alias("h2"),
+        )
+    raise ValueError(f"bits must be 64 or 128, got {bits}")

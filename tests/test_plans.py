@@ -291,3 +291,17 @@ def test_repeated_spans_shuffles_digests_not_text(spark, sf_dir):
     # and the raw text column is consumed by the digest projection: it
     # must not survive into the join output schema
     assert "text" not in out.columns
+
+
+def test_repeated_cut_never_shuffles_text(spark, sf_dir):
+    """The cut step's default plan joins the span table back as a
+    BROADCAST side: no Exchange may carry the raw text column (the same
+    invariant the detection stage is plan-tested for)."""
+    from tab2neo_spark.operators.dedup import remove_repeated_regions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_repeated_regions(docs, "text", "doc_id", n=8, min_count=2)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
