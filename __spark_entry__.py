@@ -1372,15 +1372,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans_merged": q_repeated_spans_merged,
         "repeated_cut": q_repeated_cut,
         "mix_weights": q_mix_weights,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
         # -- previously green, oldest verification first ----------------------
         "kg_extract_text": q_kg_extract_text,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
-        "kg_canonical_map": q_kg_canonical_map,
-        "kg_entity_degree": q_kg_entity_degree,
         # ---- 50-row cap boundary (driver gates the first 50 entries) --------
         # everything below has a green r3 row (or replica coverage) and is
         # re-verifiable any time via tools/check_correctness.py
+        "kg_canonical_map": q_kg_canonical_map,
+        "kg_entity_degree": q_kg_entity_degree,
         "kg_pagerank": q_kg_pagerank,
         "kg_readback_join": q_kg_readback_join,
         "refactor_nodes": q_refactor_nodes,
@@ -1507,6 +1509,147 @@ _DEDUP_CTES = """
         GROUP BY c.a, c.b
     )
 """
+
+_PQ_PARAMS = {"m": 8, "k": 16, "sample": 400, "iters": 5}
+_PQ_QUERY = [0.1] * 64
+
+
+def _pq_codebook_spark(spark: SparkSession, sf_dir: str):
+    from tab2neo_spark.operators.pq import pq_train
+
+    return pq_train(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+                    **_PQ_PARAMS)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment (operators/pq.py): deterministic
+    md5-sampled per-subspace k-means codebook (trainer shared verbatim
+    with the oracle's hashlib+numpy replication), then per-vector code
+    arrays via fused argmin expressions — zero shuffle, zero Python in
+    the assignment pass."""
+    from tab2neo_spark.operators.pq import pq_assign
+
+    cb = _pq_codebook_spark(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_assign(emb, "embedding", cb).select("vec_id", "pq_codes")
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC search: approximate top-10 by summed lookup-table distances
+    over the code arrays (TakeOrderedAndProject; det-rounded, id
+    tiebreak)."""
+    from tab2neo_spark.operators.pq import pq_assign, pq_search_topk
+
+    cb = _pq_codebook_spark(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = pq_assign(emb, "embedding", cb)
+    return pq_search_topk(coded, "pq_codes", "vec_id", _PQ_QUERY, cb, topk=10)
+
+
+_pq_oracle_cache: dict[str, tuple] = {}
+
+
+def _pq_oracle_parts() -> tuple:
+    """Rebuild the IDENTICAL codebook without Spark (dedup_canonical's
+    lazy-oracle pattern): md5-ranked sample via hashlib, the same
+    kmeans_codebook numpy routine, rendered as VALUES relations. Returns
+    (codebook VALUES sql, lut VALUES sql, subdim, m)."""
+    import hashlib
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from tab2neo_spark.operators.pq import kmeans_codebook
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf in _pq_oracle_cache:
+        return _pq_oracle_cache[sf]
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    ranked = sorted(
+        rows, key=lambda r: hashlib.md5(f"pq#{r[0]}".encode()).hexdigest()
+    )[: _PQ_PARAMS["sample"]]
+    X = np.array([r[1] for r in ranked], dtype=np.float64)
+    cb = kmeans_codebook(X, _PQ_PARAMS["m"], _PQ_PARAMS["k"], _PQ_PARAMS["iters"])
+    sub = len(cb[0][0])
+    cb_rows = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in cb[j][c])}]::DOUBLE[])"
+        for j in range(len(cb))
+        for c in range(len(cb[j]))
+    )
+    lut_rows = ", ".join(
+        f"({j}, {c}, {round(sum((a - b) ** 2 for a, b in zip(_PQ_QUERY[j * sub:(j + 1) * sub], cb[j][c])), 6)!r})"
+        for j in range(len(cb))
+        for c in range(len(cb[j]))
+    )
+    out = (cb_rows, lut_rows, sub, len(cb))
+    _pq_oracle_cache[sf] = out
+    return out
+
+
+def _pq_codes_sql() -> str:
+    cb_rows, _, sub, m = _pq_oracle_parts()
+    return f"""
+        WITH cb(j, c, cent) AS (VALUES {cb_rows}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        d AS (
+            SELECT e.vec_id, cb.j, cb.c,
+                   floor(list_sum(list_transform(range(1, {sub + 1}),
+                       t -> (e.emb[cb.j * {sub} + t] - cb.cent[t])
+                            * (e.emb[cb.j * {sub} + t] - cb.cent[t])))
+                       * 1000000.0 + 0.5) / 1000000.0 AS dist
+            FROM e, cb
+        ),
+        best AS (
+            SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, c) AS rn
+                FROM d
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, list(c ORDER BY j) AS pq_codes
+        FROM best GROUP BY vec_id
+    """
+
+
+def _pq_topk_sql() -> str:
+    cb_rows, lut_rows, sub, m = _pq_oracle_parts()
+    return f"""
+        WITH cb(j, c, cent) AS (VALUES {cb_rows}),
+        lut(j, c, v) AS (VALUES {lut_rows}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        d AS (
+            SELECT e.vec_id, cb.j, cb.c,
+                   floor(list_sum(list_transform(range(1, {sub + 1}),
+                       t -> (e.emb[cb.j * {sub} + t] - cb.cent[t])
+                            * (e.emb[cb.j * {sub} + t] - cb.cent[t])))
+                       * 1000000.0 + 0.5) / 1000000.0 AS dist
+            FROM e, cb
+        ),
+        best AS (
+            SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, c) AS rn
+                FROM d
+            ) WHERE rn = 1
+        ),
+        score AS (
+            SELECT b.vec_id,
+                   floor(sum(l.v) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+            FROM best b JOIN lut l ON l.j = b.j AND l.c = b.c
+            GROUP BY b.vec_id
+        )
+        SELECT vec_id, adc_dist FROM score
+        ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
 
 _canon_values_cache: dict[str, str] = {}
 
@@ -2450,6 +2593,8 @@ def oracle_sql() -> dict[str, str]:
                    max(start_token) + 7 AS end_token
             FROM grp GROUP BY doc_id, g
         """,
+        "pq_codes": _pq_codes_sql(),
+        "pq_topk": _pq_topk_sql(),
         "repeated_cut": """
             WITH w AS (
                 SELECT doc_id,

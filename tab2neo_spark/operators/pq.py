@@ -1,0 +1,184 @@
+"""Product quantization (PQ) for embedding columns — the compressed-
+domain scale path for similarity search (engine addition; complements
+operators/similarity.py's exact top-k and sign-LSH/IVF ANN).
+
+At 100 TB an ``array<float>`` embedding column dominates storage and
+scan cost; PQ splits each d-dim vector into ``m`` subvectors and stores
+only the index of the nearest of ``k`` per-subspace centroids — d floats
+become m small ints (e.g. 64x4B -> 8x1B, a 32x compression). Search uses
+an asymmetric distance computation (ADC): the query's distance to every
+centroid of every subspace is a tiny driver-side lookup table, and a
+vector's approximate distance is the sum of m table lookups over its
+codes — no float math against the original vectors at all.
+
+Spark shapes (all scale-safe):
+
+- **train** (:func:`pq_train`): k-means per subspace over a DETERMINISTIC
+  sample — the ``sample`` rows with the smallest ``md5(salt # id)``
+  (a reproducible uniform draw; no RNG, and hashlib-replicable so the
+  oracle rebuilds the identical codebook without Spark), initialized
+  from the k hash-smallest sample points and run a fixed number of Lloyd
+  iterations driver-side in numpy. Metadata-scale: the sample is
+  thousands of rows, the codebook is m*k small vectors.
+- **assign** (:func:`pq_assign`): the codebook renders as a literal
+  nested-array expression; per subspace the code is the argmin of k
+  squared-L2 distances — pure fused column expressions, zero shuffle,
+  zero Python. Distances are det-rounded before the argmin so the code
+  assignment is engine-reproducible (the DuckDB oracle recomputes the
+  identical argmin; raw-double ties would be last-ulp lottery).
+- **search** (:func:`pq_search_topk`): ADC lookup tables render as
+  literal arrays; the score is m array lookups + en route sum, ranked by
+  TakeOrderedAndProject (per-partition top-k, no global sort).
+
+Codebooks are plain ``list[list[list[float]]]`` (m x k x d/m) so they
+serialize into checkpoints/tests trivially.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tab2neo_spark.operators.numeric import det_round
+
+
+def kmeans_codebook(
+    X: np.ndarray, m: int, k: int, iters: int
+) -> list[list[list[float]]]:
+    """Pure-numpy per-subspace Lloyd k-means over a HASH-ORDERED sample
+    matrix — shared verbatim by the Spark trainer and the correctness
+    oracle (same floats in, same ops, bit-identical codebook out). Init
+    = the first k sample points per subspace; empty clusters keep their
+    previous centroid (deterministic fixed-point handling)."""
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    codebook: list[list[list[float]]] = []
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[: min(k, len(Xj))].copy()
+        if len(C) < k:  # tiny inputs: pad by repeating the last point
+            C = np.vstack([C, np.repeat(C[-1:], k - len(C), axis=0)])
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+        codebook.append([[float(x) for x in row] for row in C])
+    return codebook
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    salt: str = "pq",
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace k-means codebook (m x k x d/m).
+
+    The training sample is the ``sample`` rows with the smallest
+    ``md5(salt # id)`` — a pure function of row identity (md5, not
+    xxhash64: hashlib replicates it exactly, so the correctness oracle
+    can rebuild the identical sample without Spark), so the codebook is
+    identical across runs, cluster sizes, input partitionings, AND
+    engines. Lloyd iterations run driver-side on the sample
+    (metadata-scale) via :func:`kmeans_codebook`."""
+    key = F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"), key.alias("_k"))
+        .orderBy("_k")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty input")
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    return kmeans_codebook(X, m, k, iters)
+
+
+def _sub_sq_dist(vec: Column, centroid: Sequence[float], off: int) -> Column:
+    """Squared L2 between vec[off : off+len(centroid)] (1-based slicing)
+    and a literal centroid — unrolled adds, fully codegen'd."""
+    expr = F.lit(0.0)
+    for t, c in enumerate(centroid):
+        dlt = F.element_at(vec, off + t + 1) - F.lit(float(c))
+        expr = expr + dlt * dlt
+    return expr
+
+
+def pq_assign(
+    df: DataFrame,
+    vec_col: str,
+    codebook: list[list[list[float]]],
+    out_col: str = "pq_codes",
+    dp: int = 6,
+) -> DataFrame:
+    """Append ``out_col``: array of m centroid indices (0-based). Pure
+    column expressions; the argmin takes the LOWEST index on det-rounded
+    distance ties so the assignment is engine-reproducible.
+
+    Plan-size note: the codebook unrolls into the expression tree
+    (m*k*subdim literal terms — a few MB of task binary at the default
+    8x16x8, fine; for big codebooks (k >= 256) switch to a broadcast
+    array + ``aggregate`` formulation or a Pandas UDF rather than
+    growing the plan quadratically)."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    codes = []
+    for j in range(m):
+        dists = F.array(
+            *[
+                det_round(_sub_sq_dist(vec, codebook[j][c], j * sub), dp)
+                for c in range(len(codebook[j]))
+            ]
+        )
+        # array_position returns the FIRST match (1-based) -> lowest index
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_search_topk(
+    df: DataFrame,
+    codes_col: str,
+    id_col: str,
+    query: Sequence[float],
+    codebook: list[list[list[float]]],
+    topk: int = 10,
+    dp: int = 6,
+) -> DataFrame:
+    """Approximate nearest neighbours by ADC: per subspace, the query's
+    det-rounded squared distance to each centroid is a literal lookup
+    array; a row's score is the sum of m ``element_at`` lookups over its
+    codes. Ranked ascending with id tiebreak via TakeOrderedAndProject."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    q = [float(x) for x in query]
+    luts = []
+    for j in range(m):
+        qj = q[j * sub : (j + 1) * sub]
+        lut = [
+            round(sum((a - b) ** 2 for a, b in zip(qj, c)), dp)
+            for c in codebook[j]
+        ]
+        luts.append(F.array(*[F.lit(v) for v in lut]))
+    score = F.lit(0.0)
+    for j in range(m):
+        score = score + F.element_at(
+            luts[j], F.element_at(F.col(codes_col), j + 1) + 1
+        )
+    return (
+        df.select(F.col(id_col), det_round(score, dp).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.col(id_col))
+        .limit(topk)
+    )

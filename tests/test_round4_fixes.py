@@ -428,3 +428,27 @@ def test_remove_repeated_regions(spark):
     assert out[3]["kept_text"].startswith("entirely unique")
     assert out[3]["n_removed"] == 0
     assert out[1]["n_removed"] == 4 and out[1]["n_kept"] == 4
+
+
+def test_pq_roundtrip_and_determinism(spark):
+    """PQ: codebook is a pure function of the data (two trainings agree
+    bit-for-bit); codes are valid indices; ADC top-k ranks the query's
+    own cluster-mates first on a separable dataset."""
+    from tab2neo_spark.operators.pq import pq_assign, pq_search_topk, pq_train
+
+    # two well-separated clusters in 8-dim
+    rows = [(i, [float(5 + (i % 3))] * 8) for i in range(20)]
+    rows += [(100 + i, [float(-5 - (i % 3))] * 8) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb1 = pq_train(df, "embedding", "vec_id", m=2, k=4, sample=40, iters=5)
+    cb2 = pq_train(df, "embedding", "vec_id", m=2, k=4, sample=40, iters=5)
+    assert cb1 == cb2
+    coded = pq_assign(df, "embedding", cb1)
+    got = coded.select("vec_id", "pq_codes").collect()
+    assert all(len(r["pq_codes"]) == 2 for r in got)
+    assert all(0 <= c < 4 for r in got for c in r["pq_codes"])
+    # vectors in the same cluster share codes; across clusters they differ
+    by_id = {r["vec_id"]: tuple(r["pq_codes"]) for r in got}
+    assert by_id[0] == by_id[3] and by_id[0] != by_id[100]
+    top = pq_search_topk(coded, "pq_codes", "vec_id", [5.0] * 8, cb1, topk=5)
+    assert all(r["vec_id"] < 100 for r in top.collect())  # right cluster
