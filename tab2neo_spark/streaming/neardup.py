@@ -99,3 +99,47 @@ def stream_signature_dedup(
     if within_watermark:
         return sig.dropDuplicatesWithinWatermark(["signature"])
     return sig.dropDuplicates(["signature"])
+
+
+def stream_decontaminate(
+    stream: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    sink,
+    checkpoint_dir: str,
+    n: int = 8,
+    min_shared: int = 1,
+    hash_fn: str = "xxhash64",
+    trigger_available_now: bool = True,
+):
+    """Streaming benchmark decontamination: every micro-batch runs the
+    BATCH ``operators/decontam.decontaminate`` against the static
+    benchmark side and hands the surviving rows to ``sink(df, epoch_id)``.
+
+    foreachBatch is the right composition here — the per-document
+    contamination decision needs a digest-level join THEN a per-doc
+    re-aggregation, which as a pure streaming plan would be a
+    stream-stream self-join; per micro-batch it is the same broadcast
+    digest probe the batch path uses (zero corpus shuffle, plan-tested
+    there). The checkpoint gives at-least-once delivery; pair with
+    idempotent sinks (GraphStore keyed writes) for exactly-once effect.
+    """
+    from tab2neo_spark.operators.decontam import decontaminate
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        sink(
+            decontaminate(
+                df, bench, text_col, id_col, n=n,
+                min_shared=min_shared, hash_fn=hash_fn,
+            ),
+            epoch_id,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

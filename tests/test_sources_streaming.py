@@ -391,3 +391,38 @@ def test_stream_signature_matches_batch_minhash(spark, tmp_path):
     q.awaitTermination(120)
     sigs = [r["signature"] for r in spark.sql("SELECT * FROM neardup_t").collect()]
     assert sorted(sigs) == sorted(set(per_row.values()))
+
+
+def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming decontamination (foreachBatch over the static benchmark
+    side) keeps exactly the documents the batch operator keeps, across
+    micro-batches."""
+    from tab2neo_spark.operators.decontam import decontaminate
+    from tab2neo_spark.streaming.neardup import stream_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_doc"), "text"
+    ).withColumnRenamed("bench_doc", "doc_id")
+    drop = str(tmp_path / "drop")
+    # two files -> at least two micro-batches with maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{drop}/a.parquet")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{drop}/b.parquet")
+
+    got: list = []
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*")
+    )
+    q = stream_decontaminate(
+        stream, bench, "text", "doc_id",
+        sink=lambda df, epoch: got.extend(r["doc_id"] for r in df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n=8,
+    )
+    q.awaitTermination(300)
+    expected = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench, "text", "doc_id", n=8).collect()
+    )
+    assert sorted(got) == expected and len(expected) > 0
