@@ -1514,11 +1514,17 @@ _PQ_PARAMS = {"m": 8, "k": 16, "sample": 400, "iters": 5}
 _PQ_QUERY = [0.1] * 64
 
 
+_pq_spark_cb_cache: dict[str, list] = {}
+
+
 def _pq_codebook_spark(spark: SparkSession, sf_dir: str):
     from tab2neo_spark.operators.pq import pq_train
 
-    return pq_train(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
-                    **_PQ_PARAMS)
+    if sf_dir not in _pq_spark_cb_cache:
+        _pq_spark_cb_cache[sf_dir] = pq_train(
+            _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", **_PQ_PARAMS
+        )
+    return _pq_spark_cb_cache[sf_dir]
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,7 +1599,7 @@ def _pq_oracle_parts() -> tuple:
 
 
 def _pq_codes_sql() -> str:
-    cb_rows, _, sub, m = _pq_oracle_parts()
+    cb_rows, _, sub, _m = _pq_oracle_parts()
     return f"""
         WITH cb(j, c, cent) AS (VALUES {cb_rows}),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1619,7 +1625,7 @@ def _pq_codes_sql() -> str:
 
 
 def _pq_topk_sql() -> str:
-    cb_rows, lut_rows, sub, m = _pq_oracle_parts()
+    cb_rows, lut_rows, sub, _m = _pq_oracle_parts()
     return f"""
         WITH cb(j, c, cent) AS (VALUES {cb_rows}),
         lut(j, c, v) AS (VALUES {lut_rows}),

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tab2neo_spark.operators.hashing import md5_rank_key
 from tab2neo_spark.operators.textstats import (
     detect_language,
     fingerprint,
@@ -40,7 +41,7 @@ def split_by_hash(
     """
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     bucket = (
-        F.conv(F.substring(F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+        F.conv(F.substring(md5_rank_key(id_col, salt), 1, 15), 16, 10)
         .cast("long") % 10000
     )
     expr = None
@@ -191,7 +192,7 @@ def stratified_cap(
     so the guard's fallback branch almost never materializes rows
     (Chernoff failure odds < 1e-12 per stratum).
     """
-    rank_key = F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
+    rank_key = md5_rank_key(id_col, salt)
     # rank-key prefix as a uniform fraction of the key space: 15 hex
     # chars = 60 bits, plenty of resolution, fits a long exactly
     key_frac = F.conv(F.substring(rank_key, 1, 15), 16, 10).cast("long") / F.lit(
@@ -268,7 +269,7 @@ def pack_token_sequences(
     ~n/256 rows each) seeded with its band offset. Output:
     ``(row, seq_id, start_offset)``.
     """
-    key = F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
+    key = md5_rank_key(id_col, salt)
     band = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
     banded = df.withColumn("_key", key).withColumn("_band", band)
 

@@ -81,20 +81,41 @@ def ngram_collisions(
     bench_id_col: str | None = None,
     n: int = 8,
     hash_fn: str = "xxhash64",
+    bench_digests: DataFrame | None = None,
 ) -> DataFrame:
     """(corpus id, bench id, n_shared) per colliding document pair —
-    the audit view (who leaked what)."""
+    the audit view (who leaked what). ``bench_digests`` (columns
+    ``(bench_id, digest)`` from :func:`bench_digest_table`) skips
+    recomputing the static side — pass a persisted table when probing
+    repeatedly (micro-batches, multiple corpora against one benchmark)."""
     bench_id_col = bench_id_col or id_col
     c = _ngram_digests(corpus, text_col, id_col, n, hash_fn).withColumnRenamed(
         id_col, "corpus_id"
     )
-    b = _ngram_digests(bench, text_col, bench_id_col, n, hash_fn).withColumnRenamed(
-        bench_id_col, "bench_id"
+    b = (
+        bench_digests
+        if bench_digests is not None
+        else bench_digest_table(bench, text_col, bench_id_col, n, hash_fn)
     )
     return (
         c.join(F.broadcast(b), "digest")
         .groupBy("corpus_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def bench_digest_table(
+    bench: DataFrame,
+    text_col: str,
+    bench_id_col: str,
+    n: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The static benchmark side as a reusable ``(bench_id, digest)``
+    table — compute once, ``persist()``, probe many times (the streaming
+    path does exactly this per micro-batch)."""
+    return _ngram_digests(bench, text_col, bench_id_col, n, hash_fn).withColumnRenamed(
+        bench_id_col, "bench_id"
     )
 
 
@@ -106,12 +127,14 @@ def decontaminate(
     n: int = 8,
     min_shared: int = 1,
     hash_fn: str = "xxhash64",
+    bench_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus rows with FEWER than ``min_shared`` distinct n-grams shared
     with ANY single benchmark document. The contaminated-id set is
     digest-probe + groupBy — corpus text never shuffles."""
     hits = (
-        ngram_collisions(corpus, bench, text_col, id_col, n=n, hash_fn=hash_fn)
+        ngram_collisions(corpus, bench, text_col, id_col, n=n, hash_fn=hash_fn,
+                         bench_digests=bench_digests)
         .filter(F.col("n_shared") >= min_shared)
         .select(F.col("corpus_id").alias(id_col))
         .distinct()

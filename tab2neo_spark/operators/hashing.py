@@ -104,3 +104,14 @@ def ngram_digest(arr: Column, i: Column, n: int, bits: int = 64) -> Column:
             F.xxhash64(F.lit("tab2neo#2"), *parts).alias("h2"),
         )
     raise ValueError(f"bits must be 64 or 128, got {bits}")
+
+
+def md5_rank_key(id_col: str, salt: str) -> Column:
+    """Deterministic uniform rank key ``md5(salt # id)`` — the engine's
+    standard no-RNG sampling/ordering key (splits, caps, packing, PQ
+    training). CONTRACT: Python ``hashlib.md5(f"{salt}#{id}".encode())
+    .hexdigest()`` reproduces it byte-for-byte — several oracles rebuild
+    samples that way, so the shape (separator, salt-first, string cast)
+    must never drift per call site; that is why this is THE one
+    definition."""
+    return F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))

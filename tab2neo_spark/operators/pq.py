@@ -42,6 +42,9 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+import math
+
+from tab2neo_spark.operators.hashing import md5_rank_key
 from tab2neo_spark.operators.numeric import det_round
 
 
@@ -93,7 +96,7 @@ def pq_train(
     identical across runs, cluster sizes, input partitionings, AND
     engines. Lloyd iterations run driver-side on the sample
     (metadata-scale) via :func:`kmeans_codebook`."""
-    key = F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
+    key = md5_rank_key(id_col, salt)
     rows = (
         df.select(F.col(vec_col).cast("array<double>").alias("v"), key.alias("_k"))
         .orderBy("_k")
@@ -167,8 +170,11 @@ def pq_search_topk(
     luts = []
     for j in range(m):
         qj = q[j * sub : (j + 1) * sub]
+        # det_round's floor(x*10^dp+0.5)/10^dp formula, NOT Python
+        # round() (half-even) — the repo's cross-engine rounding rule
         lut = [
-            round(sum((a - b) ** 2 for a, b in zip(qj, c)), dp)
+            math.floor(sum((a - b) ** 2 for a, b in zip(qj, c)) * 10**dp + 0.5)
+            / 10**dp
             for c in codebook[j]
         ]
         luts.append(F.array(*[F.lit(v) for v in lut]))

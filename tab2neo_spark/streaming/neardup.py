@@ -125,13 +125,19 @@ def stream_decontaminate(
     there). The checkpoint gives at-least-once delivery; pair with
     idempotent sinks (GraphStore keyed writes) for exactly-once effect.
     """
-    from tab2neo_spark.operators.decontam import decontaminate
+    from tab2neo_spark.operators.decontam import bench_digest_table, decontaminate
+
+    # the static side is computed and persisted ONCE — a continuous
+    # stream must not re-tokenize/re-hash the benchmark every micro-batch
+    bench_dig = bench_digest_table(bench, text_col, id_col, n, hash_fn).persist()
+    bench_dig.count()
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         sink(
             decontaminate(
                 df, bench, text_col, id_col, n=n,
                 min_shared=min_shared, hash_fn=hash_fn,
+                bench_digests=bench_dig,
             ),
             epoch_id,
         )

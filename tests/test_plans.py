@@ -305,3 +305,21 @@ def test_repeated_cut_never_shuffles_text(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "text" not in m.group(0), m.group(0)
+
+
+def test_pq_assign_zero_shuffle_and_search_take_ordered(spark, sf_dir):
+    """PQ scale claims, plan-asserted: assignment is fused column
+    expressions (no Exchange, no Python eval); ADC search ranks via
+    TakeOrderedAndProject, never a global sort."""
+    from tab2neo_spark.operators.pq import pq_assign, pq_search_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, "embedding", "vec_id", m=4, k=4, sample=64, iters=2)
+    coded = pq_assign(emb, "embedding", cb)
+    plan = _plan(coded)
+    assert "Exchange" not in plan, plan[:600]
+    assert "EvalPython" not in plan
+    top = pq_search_topk(coded, "pq_codes", "vec_id", [0.0] * 64, cb, topk=5)
+    splan = _plan(top)
+    assert "TakeOrderedAndProject" in splan
+    assert "EvalPython" not in splan

@@ -401,9 +401,7 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     from tab2neo_spark.streaming.neardup import stream_decontaminate
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bench = docs.filter(F.col("doc_id") < 10).select(
-        F.col("doc_id").alias("bench_doc"), "text"
-    ).withColumnRenamed("bench_doc", "doc_id")
+    bench = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
     drop = str(tmp_path / "drop")
     # two files -> at least two micro-batches with maxFilesPerTrigger=1
     docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{drop}/a.parquet")
