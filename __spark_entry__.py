@@ -850,6 +850,10 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall SimHash near-pairs (VERDICT r4 #4): max_hamming+1
+    candidate blocks are pigeonhole-complete, so the oracle asserts pure
+    ``bit_count(xor) <= d`` over ALL pairs — completeness, not blocking
+    replication."""
     from tab2neo_spark.operators.dedup import simhash_near_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -1537,7 +1541,16 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cb = _pq_codebook_spark(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    return pq_assign(emb, "embedding", cb).select("vec_id", "pq_codes")
+    # the code ARRAY is projected to a comma-joined string: the driver's
+    # canonicalizer sorts raw pandas object columns and list values are
+    # unhashable there (the r4 red row) — scalar columns only in gate
+    # output (VERDICT r4, Next round #1)
+    return pq_assign(emb, "embedding", cb).select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("pq_codes"), lambda c: c.cast("string")), ","
+        ).alias("pq_codes"),
+    )
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1561,6 +1574,7 @@ def _pq_oracle_parts() -> tuple:
     kmeans_codebook numpy routine, rendered as VALUES relations. Returns
     (codebook VALUES sql, lut VALUES sql, subdim, m)."""
     import hashlib
+    import math
     import os
 
     import duckdb
@@ -1588,8 +1602,11 @@ def _pq_oracle_parts() -> tuple:
         for j in range(len(cb))
         for c in range(len(cb[j]))
     )
+    # det_round's floor(x*1e6+0.5)/1e6 formula, NOT Python round() (half-
+    # even) — both sides of the gate must share ONE rounding rule (ADVICE
+    # r4: a .5-boundary LUT value under round() diverges from pq.py:191)
     lut_rows = ", ".join(
-        f"({j}, {c}, {round(sum((a - b) ** 2 for a, b in zip(_PQ_QUERY[j * sub:(j + 1) * sub], cb[j][c])), 6)!r})"
+        f"({j}, {c}, {math.floor(sum((a - b) ** 2 for a, b in zip(_PQ_QUERY[j * sub:(j + 1) * sub], cb[j][c])) * 10**6 + 0.5) / 10**6!r})"
         for j in range(len(cb))
         for c in range(len(cb[j]))
     )
@@ -1619,7 +1636,7 @@ def _pq_codes_sql() -> str:
                 FROM d
             ) WHERE rn = 1
         )
-        SELECT vec_id, list(c ORDER BY j) AS pq_codes
+        SELECT vec_id, string_agg(c::VARCHAR, ',' ORDER BY j) AS pq_codes
         FROM best GROUP BY vec_id
     """
 
@@ -1647,8 +1664,13 @@ def _pq_topk_sql() -> str:
             ) WHERE rn = 1
         ),
         score AS (
+            -- deterministic fold order (ADVICE r4): Spark sums the m
+            -- rounded LUT values in fixed subspace order; list_sum over
+            -- list(v ORDER BY j) folds identically, so non-associative
+            -- double addition cannot flip a 6-dp boundary across engines
             SELECT b.vec_id,
-                   floor(sum(l.v) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+                   floor(list_sum(list(l.v ORDER BY b.j)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS adc_dist
             FROM best b JOIN lut l ON l.j = b.j AND l.c = b.c
             GROUP BY b.vec_id
         )
@@ -1880,9 +1902,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.doc_id AS a, y.doc_id AS b,
                    bit_count(xor(x.simhash, y.simhash))::INT AS hamming
             FROM fp x JOIN fp y ON x.doc_id < y.doc_id
-            WHERE ((x.simhash & 255) = (y.simhash & 255)
-                   OR (x.simhash >> 8) = (y.simhash >> 8))
-              AND bit_count(xor(x.simhash, y.simhash)) <= 2
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
         """,
         "embed_ann_ivf": f"""
             WITH ex AS (

@@ -213,41 +213,41 @@ def main() -> None:
                     }
 
         # N -> 4N pairs present in the configured core list. Interference
-        # can also hit one level's ENTIRE window (all reps suppressed, no
-        # within-level dispersion): when a pair's efficiency lands below the
-        # 0.8 north-rule target, re-run each of its levels once (fresh
-        # window) and keep the per-level best throughput — interference is
-        # strictly additive, so max-throughput across windows is the
-        # machine-capability number. First-pass value kept in the artifact.
-        rerun_done: set[int] = set()
+        # can hit one level's ENTIRE window (all reps suppressed, no
+        # within-level dispersion), so EVERY level that participates in an
+        # efficiency pair gets a second measurement window UNCONDITIONALLY
+        # — symmetric, not gated on which side of 0.8 the first pass lands
+        # (ADVICE r4: a one-sided retry-below-target policy biases the
+        # reported efficiency upward). Per level we keep the max-throughput
+        # window: interference is strictly additive, so across windows the
+        # max is the machine-capability number, and within each window the
+        # level's own reps already report MIN wall after warmup. Both
+        # windows stay in the artifact.
+        paired = sorted(
+            {c for c in SCALING_CORES if c * 4 in SCALING_CORES}
+            | {c * 4 for c in SCALING_CORES if c * 4 in SCALING_CORES}
+        )
+        for cores in paired:
+            r1 = scaling.get(f"local_{cores}", {})
+            if not isinstance(r1, dict) or not r1.get("docs_per_sec"):
+                continue
+            r2 = _run_level(cores)
+            if r2.get("docs_per_sec", 0) > r1.get("docs_per_sec", 0):
+                r2["second_window"] = {
+                    "kept": "rerun", "first_walls": r1.get("walls_all"),
+                    "first_docs_per_sec": r1.get("docs_per_sec"),
+                }
+                scaling[f"local_{cores}"] = r2
+            else:
+                r1["second_window"] = {
+                    "kept": "first", "rerun_walls": r2.get("walls_all"),
+                    "rerun_docs_per_sec": r2.get("docs_per_sec"),
+                }
         for lo, hi in [(c, c * 4) for c in SCALING_CORES if c * 4 in SCALING_CORES]:
-            key = f"efficiency_{lo}_to_{hi}"
             dlo = scaling.get(f"local_{lo}", {}).get("docs_per_sec")
             dhi = scaling.get(f"local_{hi}", {}).get("docs_per_sec")
-            if not (dlo and dhi):
-                continue
-            eff = dhi / (4.0 * dlo)
-            if eff < 0.8:
-                scaling[f"{key}_first_pass"] = round(eff, 3)
-                for cores in (lo, hi):
-                    if cores in rerun_done:
-                        continue
-                    rerun_done.add(cores)
-                    r2 = _run_level(cores)
-                    r1 = scaling[f"local_{cores}"]
-                    if r2.get("docs_per_sec", 0) > r1.get("docs_per_sec", 0):
-                        r2["interference_rerun"] = {
-                            "kept": "rerun", "first_walls": r1.get("walls_all")
-                        }
-                        scaling[f"local_{cores}"] = r2
-                    else:
-                        r1["interference_rerun"] = {
-                            "kept": "first", "rerun_walls": r2.get("walls_all")
-                        }
-                dlo = scaling[f"local_{lo}"].get("docs_per_sec")
-                dhi = scaling[f"local_{hi}"].get("docs_per_sec")
-                eff = dhi / (4.0 * dlo)
-            scaling[key] = round(eff, 3)
+            if dlo and dhi:
+                scaling[f"efficiency_{lo}_to_{hi}"] = round(dhi / (4.0 * dlo), 3)
         result["kg_throughput_scaling"] = scaling
         # peak = best measured throughput across ALL levels: on this host
         # external interference can hit one level's window and make the

@@ -201,6 +201,28 @@ def stratified_cap(
     slack = max(threshold_slack, (56.0 / max(cap, 1)) ** 0.5)
 
     strata = list(strata_cols)
+    # NULL strata are first-class partitions (undetected language is a
+    # real stratum at web scale): all broadcast joins below use <=>
+    # (eqNullSafe) on renamed key columns — a plain `on=strata` equi-join
+    # silently drops every NULL-stratum row (never matches), which the
+    # pre-r5 form did. eqNullSafe is still recognized as an equi-join
+    # predicate, so the broadcast hash join is preserved.
+    import functools
+    import operator
+
+    def _nullsafe(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+        r = right.select(
+            *[F.col(c).alias(f"_cap_k_{i}") for i, c in enumerate(strata)],
+            *[c for c in right.columns if c not in strata],
+        )
+        cond = functools.reduce(
+            operator.and_,
+            [left[c].eqNullSafe(r[f"_cap_k_{i}"]) for i, c in enumerate(strata)],
+        )
+        return left.join(r, cond, how).drop(
+            *[f"_cap_k_{i}" for i in range(len(strata))]
+        )
+
     # pruned scan #1 (strata cols only): per-stratum row counts size the
     # tentative thresholds — keep fraction (cap/n)·(1+slack), clamped to
     # 1.0 so strata at or under the cap pass untouched
@@ -217,13 +239,13 @@ def stratified_cap(
     # inside the broadcast subtree, so the FINAL plan scans df once at
     # full width.
     surv = (
-        df.join(F.broadcast(tentative_thr), on=strata, how="inner")
+        _nullsafe(df, F.broadcast(tentative_thr), "inner")
         .filter(key_frac <= F.col("_thr0"))
         .groupBy(*strata)
         .agg(F.count("*").alias("_cap_s"))
     )
     eff = (
-        tentative_thr.join(surv, on=strata, how="left")
+        _nullsafe(tentative_thr, surv, "left")
         .select(
             *strata,
             F.when(
@@ -235,7 +257,7 @@ def stratified_cap(
             .alias("_cap_thr"),
         )
     )
-    survivors = df.join(F.broadcast(eff), on=strata, how="inner").filter(
+    survivors = _nullsafe(df, F.broadcast(eff), "inner").filter(
         key_frac <= F.col("_cap_thr")
     )
 

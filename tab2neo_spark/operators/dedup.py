@@ -267,34 +267,70 @@ def simhash(df: DataFrame, content_col: str, id_col: str, bits: int = 16) -> Dat
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, content_col: str, id_col: str, bits: int = 16, max_hamming: int = 3
-) -> DataFrame:
-    """Pairs whose SimHash Hamming distance <= max_hamming.
+def simhash_block_widths(bits: int, n_blocks: int) -> list[int]:
+    """LSB-first widths splitting ``bits`` into ``n_blocks`` near-equal
+    contiguous blocks (first ``bits % n_blocks`` blocks one bit wider) —
+    shared by the Spark operator and the SQL oracle renderer so both
+    sides block identically."""
+    base, rem = divmod(bits, n_blocks)
+    return [base + 1 if i < rem else base for i in range(n_blocks)]
 
-    Candidate generation blocks on fingerprint halves (a pair within
-    distance d must agree exactly on >=1 of d+1 blocks; 2 blocks here
-    covers d<=1 exactly and is a pragmatic prefilter beyond that — at
-    scale raise the block count to d+1)."""
-    fps = simhash(df, content_col, id_col, bits)
-    half = bits // 2
-    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1))
-    hi = F.shiftright(F.col("simhash"), half)
-    blocked = fps.withColumn("b_lo", lo).withColumn("b_hi", hi)
-    a = blocked.select(F.col(id_col).alias("a"), F.col("simhash").alias("fa"), "b_lo", "b_hi")
-    b = blocked.select(F.col(id_col).alias("b"), F.col("simhash").alias("fb"), "b_lo", "b_hi")
-    cand = (
-        a.join(b.drop("b_hi"), "b_lo").select("a", "b", "fa", "fb")
-        .union(a.drop("b_lo").join(b.drop("b_lo"), "b_hi").select("a", "b", "fa", "fb"))
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-    )
+
+def simhash_pairs_from_fps(
+    fps: DataFrame,
+    id_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """EXACT-recall near-pair generation over precomputed fingerprints:
+    the fingerprint splits into ``n_blocks`` (default ``max_hamming + 1``)
+    contiguous bit blocks; by pigeonhole, any pair within Hamming distance
+    ``max_hamming`` agrees EXACTLY on at least one block, so the union of
+    per-block equi-joins is a complete candidate set — no near pair can be
+    missed (the pre-r5 fixed-2-block form guaranteed only d<=1). Each
+    block join is an ordinary shuffled equi-join on a small int key;
+    verification is one bit_count per candidate."""
+    nb = n_blocks if n_blocks is not None else max_hamming + 1
+    widths = simhash_block_widths(bits, nb)
+    shift = 0
+    blocked = fps
+    for i, w in enumerate(widths):
+        blk = F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit((1 << w) - 1))
+        blocked = blocked.withColumn(f"_blk{i}", blk)
+        shift += w
+    cand = None
+    for i in range(nb):
+        a = blocked.select(
+            F.col(id_col).alias("a"), F.col("simhash").alias("fa"), f"_blk{i}"
+        )
+        b = blocked.select(
+            F.col(id_col).alias("b"), F.col("simhash").alias("fb"), f"_blk{i}"
+        )
+        part = a.join(b, f"_blk{i}").select("a", "b", "fa", "fb")
+        cand = part if cand is None else cand.union(part)
+    cand = cand.filter(F.col("a") < F.col("b")).distinct()
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Pairs whose SimHash Hamming distance <= max_hamming, with EXACT
+    recall: ``max_hamming + 1`` candidate blocks (pigeonhole-complete; see
+    :func:`simhash_pairs_from_fps`)."""
+    fps = simhash(df, content_col, id_col, bits)
+    return simhash_pairs_from_fps(fps, id_col, bits, max_hamming, n_blocks)
 
 
 def repeated_ngram_spans(

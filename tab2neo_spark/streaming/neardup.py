@@ -124,6 +124,12 @@ def stream_decontaminate(
     digest probe the batch path uses (zero corpus shuffle, plan-tested
     there). The checkpoint gives at-least-once delivery; pair with
     idempotent sinks (GraphStore keyed writes) for exactly-once effect.
+
+    The persisted benchmark digest table is exposed as
+    ``query.bench_digests`` on the returned handle (ADVICE r4: the caller
+    must be able to release executor storage in a long-lived session) —
+    ``availableNow`` callers should ``query.awaitTermination()`` then
+    ``query.bench_digests.unpersist()``; :func:`release` does both.
     """
     from tab2neo_spark.operators.decontam import bench_digest_table, decontaminate
 
@@ -148,4 +154,15 @@ def stream_decontaminate(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+    query.bench_digests = bench_dig
+    return query
+
+
+def release(query) -> None:
+    """Await a (terminating) streaming query and unpersist any cached
+    static-side tables it carries (``bench_digests``)."""
+    query.awaitTermination()
+    dig = getattr(query, "bench_digests", None)
+    if dig is not None:
+        dig.unpersist()

@@ -419,7 +419,10 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         n=8,
     )
-    q.awaitTermination(300)
+    from tab2neo_spark.streaming.neardup import release
+
+    release(q)  # awaitTermination + unpersist the cached digest table
+    assert q.bench_digests.storageLevel.useMemory is False  # released
     expected = sorted(
         r["doc_id"] for r in decontaminate(docs, bench, "text", "doc_id", n=8).collect()
     )
