@@ -386,6 +386,66 @@ class GraphStore:
                 rec["status"] = "rolled_back"
                 self.write_checkpoint(run_id, rec["stage"], rec)
 
+    # -- compaction (small-file hygiene) ---------------------------------------
+
+    def compact(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Rewrite a table's accumulated small files into ~``target_file_
+        bytes`` files (VERDICT r4, Next round #10): repeated append runs
+        and rollback rewrites each leave their own file set, and at scale
+        the per-file open/footer cost comes to dominate scans. The rewrite
+        PRESERVES the partition layout contract (``<table>__meta.json``)
+        — losing it would silently kill partition pruning — and all row
+        content including ``run_id`` lineage columns, so time-travel reads
+        are unaffected. Before/after file counts, bytes, and row counts
+        (parquet footers — no data scan) are recorded as a lineage
+        checkpoint under the ``__compact__`` run; the payload deliberately
+        carries ``table_compacted`` rather than ``table`` so
+        :meth:`read`'s as-of visibility scan never treats a compaction as
+        a data commit.
+
+        Partitioned tables repartition BY the partition columns (each
+        value collapses to one task -> one file per live partition
+        directory); unpartitioned tables repartition to
+        ``ceil(bytes / target_file_bytes)``."""
+        path = self.path(table)
+        before = self._parquet_files(path)
+        bytes_before = sum(os.path.getsize(f) for f in before)
+        rows_before = sum(self._footer_histogram(before).values())
+
+        df = self.spark.read.option("mergeSchema", "true").parquet(path)
+        parts = self.table_partitioning(table)
+        if parts:
+            out = df.repartition(*[F.col(p) for p in parts])
+        else:
+            n = max(1, -(-bytes_before // max(target_file_bytes, 1)))
+            out = df.repartition(int(n))
+        tmp = path + "__compact_tmp"
+        writer = out.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(tmp)
+        self._swap_dirs(tmp, path)
+
+        after = self._parquet_files(path)
+        payload = {
+            "run_id": "__compact__",
+            "op": "compact",
+            "table_compacted": table,
+            "files_before": len(before),
+            "files_after": len(after),
+            "bytes_before": bytes_before,
+            "bytes_after": sum(os.path.getsize(f) for f in after),
+            "row_count": rows_before,
+            "rows_after": sum(self._footer_histogram(after).values()),
+            "partition_by": parts,
+            "status": "done",
+            "ts": time.time(),
+        }
+        stage = f"compact_{table}_{len(self.checkpoints('__compact__'))}"
+        payload["stage"] = stage
+        self.write_checkpoint("__compact__", stage, payload)
+        return payload
+
     @staticmethod
     def _swap_dirs(src: str, dst: str) -> None:
         import shutil

@@ -246,3 +246,151 @@ def export_model_ttl(model: MetadataModel, include_terms: bool = False) -> str:
                 f"t2s:inClass t2s:{_uri_frag(t.class_label)} ."
             )
     return "\n".join(lines) + "\n"
+
+
+# -- Turtle parsing (method graphs; RdfDerivationMethod parity) ---------------
+
+import re as _re
+
+_TTL_TOKEN = _re.compile(
+    r"""
+      (?P<comment>\#[^\n]*)
+    | (?P<uriref><[^>]*>)
+    | (?P<literal>"(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>]*>|[A-Za-z][\w-]*:[\w-]+)|@[A-Za-z-]+)?)
+    | (?P<punct>[;,.])
+    | (?P<ws>\s+)
+    | (?P<word>[^\s;,"<]+)
+    """,
+    _re.X,
+)
+
+_NUM_RE = _re.compile(r"^[+-]?(\d+\.\d*|\.?\d+)([eE][+-]?\d+)?$")
+
+
+def _ttl_local(token: str) -> str:
+    """Local name of a URI ref or prefixed name: the fragment after the
+    last '#', '/' or ':' — prefix-agnostic, so the parser reads both the
+    reference's neosemantics ``n4sch:`` output and this engine's ``t2sm:``
+    export without a prefix table."""
+    if token.startswith("<") and token.endswith(">"):
+        token = token[1:-1]
+    for sep in ("#", "/", ":"):
+        if sep in token:
+            token = token.rsplit(sep, 1)[1]
+    return token
+
+
+def _ttl_unescape(s: str) -> str:
+    return (
+        s.replace("\\n", "\n").replace("\\t", "\t")
+        .replace('\\"', '"').replace("\\\\", "\\")
+    )
+
+
+def _ttl_literal_value(tok: str):
+    """Decode a literal token: quoted string with optional ^^datatype or
+    @lang suffix, or a bare numeric/boolean word."""
+    if tok.startswith('"'):
+        m = _re.match(
+            r'^"((?:[^"\\]|\\.)*)"(?:\^\^(?P<dt><[^>]*>|[A-Za-z][\w-]*:[\w-]+))?',
+            tok,
+        )
+        body = _ttl_unescape(m.group(1))
+        dt = m.group("dt")
+        if dt:
+            local = _ttl_local(dt).lower()
+            if local in ("integer", "int", "long", "short", "byte",
+                         "nonnegativeinteger", "positiveinteger"):
+                return int(body)
+            if local in ("double", "float", "decimal"):
+                return float(body)
+            if local == "boolean":
+                return body == "true"
+        return body
+    if tok in ("true", "false"):
+        return tok == "true"
+    if _NUM_RE.match(tok):
+        return float(tok) if any(c in tok for c in ".eE") else int(tok)
+    return tok
+
+
+def parse_ttl_graph(text: str) -> dict:
+    """Parse a Turtle subset into the arrows.app graph-JSON shape
+    (``{"nodes": [...], "relationships": [...]}``) — the common currency
+    of this engine's graph (de)serializers, so TTL method specs flow
+    through the same ``DerivationMethod.from_arrows_json`` path as JSON
+    ones (reference: RdfDerivationMethod ingests TTL via neosemantics
+    ``rdf_import_subgraph_inline`` then reads the SAME node/edge
+    structure back, derivation_method/derivation_method.py:1497-1517).
+
+    Supported grammar (what both the reference's ``n4sch:`` fixtures and
+    :func:`export_model_ttl`-style output use): ``@prefix`` headers,
+    ``subject pred obj (, obj)* (; pred obj...)* .`` statements, ``a`` as
+    rdf:type, URI refs / prefixed names, and string literals with
+    optional ``^^datatype`` / ``@lang`` (ints, floats, booleans decoded).
+    URI-valued objects become relationships; literals become properties;
+    multiple rdf:types become extra labels."""
+    toks: list[tuple[str, str]] = []
+    for m in _TTL_TOKEN.finditer(text):
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        toks.append((kind, m.group()))
+
+    nodes: dict[str, dict] = {}
+    rels: list[dict] = []
+
+    def node(nid: str) -> dict:
+        return nodes.setdefault(
+            nid,
+            {"id": nid, "position": {}, "caption": "", "labels": [],
+             "properties": {}},
+        )
+
+    i = 0
+    while i < len(toks):
+        kind, tok = toks[i]
+        if kind == "word" and tok.lower() in ("@prefix", "prefix"):
+            # '@prefix pn: <uri> .' — local-name extraction makes the
+            # table unnecessary; just skip to the terminating '.'
+            while i < len(toks) and toks[i][1] != ".":
+                i += 1
+            i += 1
+            continue
+        subj = _ttl_local(tok)
+        i += 1
+        while i < len(toks):
+            pk, pt = toks[i]
+            if pt == ".":
+                i += 1
+                break
+            if pt == ";":
+                i += 1
+                continue
+            pred = "a" if (pk == "word" and pt == "a") else _ttl_local(pt)
+            i += 1
+            while i < len(toks):
+                ok, ot = toks[i]
+                i += 1
+                if pred == "a":
+                    node(subj)["labels"].append(_ttl_local(ot))
+                elif ok == "uriref" or (
+                    ok == "word" and ":" in ot and not _NUM_RE.match(ot)
+                    and ot not in ("true", "false")
+                ):
+                    rels.append(
+                        {"id": f"r{len(rels)}", "fromId": subj,
+                         "toId": _ttl_local(ot), "type": pred,
+                         "properties": {}, "style": {}}
+                    )
+                    node(subj)
+                else:
+                    node(subj)["properties"][pred] = _ttl_literal_value(ot)
+                if i < len(toks) and toks[i][1] == ",":
+                    i += 1
+                    continue
+                break
+    # edge endpoints referenced but never declared still need node stubs
+    for r in rels:
+        node(r["toId"])
+    return {"nodes": list(nodes.values()), "relationships": rels, "style": {}}

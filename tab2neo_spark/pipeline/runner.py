@@ -194,14 +194,96 @@ class DerivationMethod:
         provider=None,
         source_df: DataFrame | None = None,
     ) -> "DerivationMethod":
-        """By-name loading: ``<folder>/<name>.json`` — the engine's analog
-        of fetching a persisted Method node by id."""
+        """By-name loading: ``<folder>/<name>.json`` (falling back to
+        ``<name>.ttl``) — the engine's analog of fetching a persisted
+        Method node by id."""
         import os
 
-        return cls.from_json_file(
-            spark, os.path.join(folder, f"{name}.json"),
+        jpath = os.path.join(folder, f"{name}.json")
+        if os.path.exists(jpath):
+            return cls.from_json_file(
+                spark, jpath, provider=provider, source_df=source_df
+            )
+        return cls.from_ttl_file(
+            spark, os.path.join(folder, f"{name}.ttl"),
             provider=provider, source_df=source_df,
         )
+
+    @classmethod
+    def from_ttl(
+        cls,
+        spark: SparkSession,
+        text: str,
+        provider=None,
+        source_df: DataFrame | None = None,
+    ) -> "DerivationMethod":
+        """RdfDerivationMethod parity (VERDICT r4 #3; reference
+        derivation_method/derivation_method.py:51-58, 1497-1517): a TTL
+        method graph — core ``Method`` node with ``METHOD_ACTION`` edges
+        to action nodes ordered by a ``NEXT`` chain — parses into the
+        arrows graph-JSON shape (model/serialization.parse_ttl_graph)
+        and flows through the SAME reconstruction as JSON specs. Reads
+        the reference's neosemantics ``n4sch:`` fixtures
+        (tests/derivation_method/data/derive_simple_002.ttl) and this
+        engine's :meth:`to_ttl` output alike."""
+        from tab2neo_spark.model.serialization import parse_ttl_graph
+
+        g = parse_ttl_graph(text)
+        action_ids = {
+            r["toId"] for r in g["relationships"] if r["type"] == "METHOD_ACTION"
+        }
+        for n in g["nodes"]:
+            # the reference writes a display 'id' prop (= the action type)
+            # on action nodes; it is not an action parameter
+            if n["id"] in action_ids:
+                n["properties"].pop("id", None)
+        return cls.from_arrows_json(
+            spark, g, provider=provider, source_df=source_df
+        )
+
+    @classmethod
+    def from_ttl_file(
+        cls,
+        spark: SparkSession,
+        path: str,
+        provider=None,
+        source_df: DataFrame | None = None,
+    ) -> "DerivationMethod":
+        with open(path) as f:
+            return cls.from_ttl(
+                spark, f.read(), provider=provider, source_df=source_df
+            )
+
+    def to_ttl(self) -> str:
+        """Serialize the method graph as Turtle — the export half of the
+        RdfDerivationMethod round-trip, mirroring :meth:`to_arrows_json`
+        node-for-node (same ``_json_props`` discipline for non-scalar
+        params) under the ``t2sm:`` method namespace."""
+        g = self.to_arrows_json()
+
+        def lit(v) -> str:
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+            s = s.replace("\n", "\\n").replace("\t", "\\t")
+            return f'"{s}"'
+
+        lines = ["@prefix t2sm: <urn:tab2neo-spark:method#> .", ""]
+        edges_by_src: dict[str, list] = {}
+        for r in g["relationships"]:
+            edges_by_src.setdefault(r["fromId"], []).append(r)
+        for n in g["nodes"]:
+            parts = [f"t2sm:{n['id']} a " + ", ".join(
+                f"t2sm:{lbl}" for lbl in n["labels"]
+            )]
+            for k, v in n["properties"].items():
+                parts.append(f"  t2sm:{k} {lit(v)}")
+            for r in edges_by_src.get(n["id"], []):
+                parts.append(f"  t2sm:{r['type']} t2sm:{r['toId']}")
+            lines.append(" ;\n".join(parts) + " .")
+        return "\n".join(lines) + "\n"
 
     # -- method-as-graph JSON round-trip (D14, retrieve_json analog) ----------
 

@@ -72,7 +72,9 @@ def read_file(
             reader_options.setdefault("inferSchema", True)
         df = reader.format(fmt).options(**reader_options).load(path)
     elif ext in _PANDAS_FORMATS:
-        df = _read_via_pandas(spark, path, ext)
+        df = _read_via_pandas(
+            spark, path, ext, sheet_name=reader_options.get("sheet_name", 0)
+        )
     else:
         raise ValueError(f"unsupported extension {ext!r}")
 
@@ -86,8 +88,12 @@ def read_file(
     return df
 
 
-def _read_via_pandas(spark: SparkSession, path: str, ext: str) -> DataFrame:
-    """Driver-local exotic formats, import-gated (no new deps installed)."""
+def _read_via_pandas(
+    spark: SparkSession, path: str, ext: str, sheet_name: str | int = 0
+) -> DataFrame:
+    """Driver-local exotic formats — pure-Python readers where the format
+    is public (.rda/.rds via sources/rdata.py, .xlsx via sources/xlsx.py),
+    import-gated pandas elsewhere (no new deps installed)."""
     import pandas as pd
 
     if ext in (".sas7bdat", ".xpt"):
@@ -95,9 +101,17 @@ def _read_via_pandas(spark: SparkSession, path: str, ext: str) -> DataFrame:
             pdf = pd.read_sas(path)
         except ImportError as ex:  # pragma: no cover
             raise NotImplementedError(f"SAS reader unavailable: {ex}") from ex
-    elif ext in (".xls", ".xlsx"):
+    elif ext == ".xlsx":
+        # pure-Python ECMA-376 reader (sources/xlsx.py) — live-tested, no
+        # openpyxl; sheet selection like the reference's
+        # load_file(..., sheet_name) (file_data_loader.py:83-88)
+        from tab2neo_spark.sources.xlsx import read_xlsx
+
+        pdf = read_xlsx(path, sheet_name=sheet_name)
+    elif ext == ".xls":
+        # legacy binary BIFF container — pandas/xlrd only, import-gated
         try:
-            pdf = pd.read_excel(path)
+            pdf = pd.read_excel(path, sheet_name=sheet_name)
         except ImportError as ex:  # pragma: no cover
             raise NotImplementedError(f"Excel reader unavailable: {ex}") from ex
     elif ext in (".rda", ".rds"):
@@ -138,9 +152,15 @@ def load_file(
     domain: str | None = None,
     **kw,
 ) -> DataFrame:
-    """S2: read + provenance columns (file_data_loader.py:194-196)."""
+    """S2: read + provenance columns (file_data_loader.py:194-196). A
+    string ``sheet_name`` joins the default domain like the reference's
+    per-tab loads (``TEST.FIRST`` — test_load_xlsx.py:14-16)."""
     df = read_file(spark, folder, filename, **kw)
-    domain = (domain or os.path.splitext(filename)[0]).upper()
+    if domain is None:
+        domain = os.path.splitext(filename)[0]
+        if isinstance(kw.get("sheet_name"), str):
+            domain = f"{domain}.{kw['sheet_name']}"
+    domain = domain.upper()
     return (
         df.withColumn("_domain_", F.lit(domain))
         .withColumn("_filename_", F.lit(filename))

@@ -427,3 +427,115 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
         r["doc_id"] for r in decontaminate(docs, bench, "text", "doc_id", n=8).collect()
     )
     assert sorted(got) == expected and len(expected) > 0
+
+
+def test_stream_decontaminate_out_of_order_idempotent_sink(spark, sf_dir, tmp_path):
+    """Late-data semantics (VERDICT r4 #9): pages arrive out of order
+    across micro-batches WITH late replays of earlier pages (at-least-once
+    redelivery). A GraphStore keyed sink (dedup_key) absorbs the replays,
+    so the final table equals the batch decontamination result EXACTLY
+    ONCE per page — the documented foreachBatch + idempotent-sink
+    composition."""
+    from tab2neo_spark.kg.materialize import GraphStore
+    from tab2neo_spark.operators.decontam import decontaminate
+    from tab2neo_spark.streaming.neardup import release, stream_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    drop = str(tmp_path / "drop")
+    # three files -> three micro-batches; the LATER files re-deliver rows
+    # from earlier ones (late + duplicated), and file order reverses the
+    # doc_id order within each slice
+    f1 = docs.filter(F.col("doc_id") % 3 == 0)
+    f2 = docs.filter(F.col("doc_id") % 3 == 1).unionByName(
+        f1.orderBy(F.desc("doc_id")).limit(20)
+    )
+    f3 = docs.filter(F.col("doc_id") % 3 == 2).unionByName(
+        f2.orderBy(F.desc("doc_id")).limit(15)
+    )
+    f1.write.parquet(f"{drop}/a.parquet")
+    f2.write.parquet(f"{drop}/b.parquet")
+    f3.write.parquet(f"{drop}/c.parquet")
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+
+    def sink(df, epoch):
+        store.write_stage(
+            df.select("doc_id", "text"), "kept", f"e{epoch}", f"s{epoch}",
+            dedup_key=["doc_id"],
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*")
+    )
+    q = stream_decontaminate(
+        stream, bench, "text", "doc_id",
+        sink=sink, checkpoint_dir=str(tmp_path / "ckpt"), n=8,
+    )
+    release(q)
+
+    got = store.read("kept").select("doc_id").collect()
+    got_ids = sorted(r["doc_id"] for r in got)
+    expected = sorted(
+        r["doc_id"]
+        for r in decontaminate(docs, bench, "text", "doc_id", n=8).collect()
+    )
+    # exactly-once EFFECT: every surviving page once, despite redelivery
+    assert got_ids == expected and len(got_ids) == len(set(got_ids))
+
+
+def test_stream_dedup_within_watermark_late_arrival(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics under late data: a
+    duplicate arriving while its signature is still within the watermark
+    window is DROPPED; once the watermark passes (state evicted), a late
+    replay of the same text is re-emitted — the documented bounded-state
+    trade-off of within_watermark=True."""
+    import datetime as _dt
+
+    from tab2neo_spark.streaming.neardup import stream_signature_dedup
+
+    t0 = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def batch(path, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).write.parquet(path)
+
+    drop = str(tmp_path / "drop")
+    # b1: original + in-window duplicate (same text, 1 min later)
+    batch(f"{drop}/b1.parquet",
+          [(1, t0, "alpha beta gamma"),
+           (2, t0 + _dt.timedelta(minutes=1), "alpha beta gamma"),
+           (3, t0, "unrelated text here")])
+    # b2: advances event time far beyond the 10-minute watermark
+    batch(f"{drop}/b2.parquet",
+          [(4, t0 + _dt.timedelta(hours=2), "fresh content")])
+    # b3: LATE replay of the b1 text — state for it was evicted
+    batch(f"{drop}/b3.parquet",
+          [(5, t0 + _dt.timedelta(hours=2, minutes=1), "alpha beta gamma")])
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    out = stream_signature_dedup(
+        stream, "text", num_hashes=4, within_watermark=True
+    )
+    q = (out.writeStream.format("memory").queryName("wm_dedup")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    ids = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM wm_dedup").collect()
+    )
+    # exactly ONE of the in-window duplicates {1, 2} survives (first
+    # arrival wins; arrival order within a micro-batch is not doc-id
+    # deterministic), and the LATE replay (5) is re-emitted because its
+    # signature state was evicted when the watermark passed
+    assert len([i for i in ids if i in (1, 2)]) == 1
+    assert 3 in ids and 4 in ids and 5 in ids and len(ids) == 4
