@@ -155,6 +155,14 @@ def main() -> None:
         t0 = time.time()
         pq_assign(emb, "embedding", cb).count()
         curation["pq_assign"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        from tab2neo_spark.operators.pq import pq_rerank_topk
+
+        pq_rerank_topk(
+            pq_assign(emb, "embedding", cb), "embedding", "pq_codes",
+            "vec_id", [0.1] * 64, cb, topk=10, rerank=200,
+        ).count()
+        curation["pq_rerank"] = round(time.time() - t0, 3)
     except Exception as ex:
         print(f"bench: curation block failed: {ex}", file=sys.stderr)
 
@@ -178,14 +186,17 @@ def main() -> None:
         scaling: dict[str, object] = {}
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
 
-        def _run_level(cores: int) -> dict:
+        def _run_level(cores: int, reps: int | None = None) -> dict:
             try:
+                run_env = env if reps is None else dict(
+                    env, SPARK_GRAFT_BENCH_REPS=str(reps)
+                )
                 proc = subprocess.run(
                     [sys.executable,
                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "tools", "kg_throughput.py"),
                      str(cores), str(SCALING_PAGES)],
-                    capture_output=True, text=True, timeout=600, env=env,
+                    capture_output=True, text=True, timeout=600, env=run_env,
                 )
                 line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
                 return json.loads(line)
@@ -231,7 +242,11 @@ def main() -> None:
             r1 = scaling.get(f"local_{cores}", {})
             if not isinstance(r1, dict) or not r1.get("docs_per_sec"):
                 continue
-            r2 = _run_level(cores)
+            # 2 reps in the second window (vs 3 in the first): the window
+            # exists to catch whole-window interference, and min-of-2 after
+            # warmup suffices for that while keeping total bench wall
+            # inside the driver's timeout
+            r2 = _run_level(cores, reps=2)
             if r2.get("docs_per_sec", 0) > r1.get("docs_per_sec", 0):
                 r2["second_window"] = {
                     "kept": "rerun", "first_walls": r1.get("walls_all"),

@@ -341,6 +341,7 @@ def repeated_ngram_spans(
     min_count: int = 2,
     hash_fn: str = "xxhash64",
     digest_bits: int = 64,
+    with_doc_counts: bool = True,
 ) -> DataFrame:
     """Exact repeated-substring detection — the fixed-window n-gram form
     of suffix-array training-data dedup (the "remove ≥k-token substrings
@@ -357,7 +358,15 @@ def repeated_ngram_spans(
     one digest-keyed join back to positions. Text never shuffles. A
     boilerplate window repeated millions of times is one hot digest key —
     AQE skew-join handles the join-back, and the count side is a plain
-    aggregate (no row explosion)."""
+    aggregate (no row explosion).
+
+    ``with_doc_counts=False`` drops the ``n_docs`` column (NULL) and with
+    it the ``count_distinct(id)`` aggregation, HALVING the shuffle-side
+    aggregation state: count_distinct expands to a distinct pre-agg over
+    (digest, id) pairs — at 10M docs that is ~400M state entries, the
+    dominant memory term of the whole chain (measured: the 10M-page
+    headroom run's spill source). Callers that only need the >=min_count
+    decision (the destructive cut path) should pass False."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
     )
@@ -389,14 +398,16 @@ def repeated_ngram_spans(
     spans = base.select(F.col(id_col), span.alias("s")).select(
         id_col, "s.start_token", "s._dg"
     )
+    aggs = [F.count("*").alias("n_occurrences")]
+    if with_doc_counts:
+        aggs.append(F.count_distinct(id_col).alias("n_docs"))
     counts = (
         spans.groupBy("_dg")
-        .agg(
-            F.count("*").alias("n_occurrences"),
-            F.count_distinct(id_col).alias("n_docs"),
-        )
+        .agg(*aggs)
         .filter(F.col("n_occurrences") >= min_count)
     )
+    if not with_doc_counts:
+        counts = counts.withColumn("n_docs", F.lit(None).cast("long"))
     return spans.join(counts, "_dg").select(
         id_col, "start_token", "n_occurrences", "n_docs"
     )
@@ -463,6 +474,10 @@ def remove_repeated_regions(
             # the cut is DESTRUCTIVE: 128-bit digests so a 64-bit birthday
             # collision can never delete unique text (hashing.ngram_digest)
             digest_bits=128,
+            # the cut only needs the >=min_count decision; dropping the
+            # count_distinct(id) halves the digest-agg state (the dominant
+            # memory term at 10M+ docs — see repeated_ngram_spans)
+            with_doc_counts=False,
         ),
         id_col,
         n,
