@@ -245,7 +245,7 @@ def stratified_cap(
         .agg(F.count("*").alias("_cap_s"))
     )
     eff = (
-        _nullsafe(tentative_thr, surv, "left")
+        _nullsafe(tentative_thr, F.broadcast(surv), "left")
         .select(
             *strata,
             F.when(

@@ -15,6 +15,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partitions_for(
+    n_rows: int, rows_per_partition: int = 2_000_000, floor: int = 8
+) -> int:
+    """Shuffle-partition count for a job whose widest shuffle carries
+    ``n_rows`` (input rows x per-row expansion — e.g. ~40 window digests
+    per page in the substring-dedup chain).
+
+    The rule this encodes (docs/PLANS.md §20, measured): per-partition
+    aggregation state must fit execution memory, so partition count
+    scales with DATA VOLUME, never with the machine shape — sizing to
+    cores put 12M digest-agg entries per partition at 10M pages and
+    spilled 174 GB; sizing by volume ran the same job 3.4x faster with
+    zero spill. Over-partitioning is free under AQE coalescing, so when
+    unsure round UP."""
+    import math
+
+    return max(floor, math.ceil(max(n_rows, 1) / rows_per_partition))
+
+
 def get_spark(
     app_name: str = "tab2neo_spark",
     cores: int | str | None = None,

@@ -159,3 +159,31 @@ def test_graphstore_compaction(spark, tmp_path):
     # lineage artifact recorded
     recs = [r for r in store.checkpoints("__compact__") if r["op"] == "compact"]
     assert len(recs) == 1 and recs[0]["table_compacted"] == "nodes"
+
+
+def test_shuffle_partitions_for():
+    from tab2neo_spark.session import shuffle_partitions_for
+
+    assert shuffle_partitions_for(10_000_000 * 40) == 200  # the 10M-page chain
+    assert shuffle_partitions_for(100) == 8  # floor
+    assert shuffle_partitions_for(30_000_001) == 16  # rounds UP past floor
+    assert shuffle_partitions_for(0) == 8
+
+
+def test_stratified_cap_nullsafe_still_broadcasts(spark):
+    """The eqNullSafe rewrite must not cost the broadcast: <=> is still
+    an equi-join predicate, so both threshold joins plan as
+    BroadcastHashJoin — a SortMergeJoin here would shuffle the corpus
+    twice against a metadata-scale side."""
+    from tab2neo_spark.operators.corpus import stratified_cap
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "en" if i % 4 else None) for i in range(400)],
+        "id string, s string",
+    )
+    plan = (
+        stratified_cap(df, ["s"], "id", cap=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

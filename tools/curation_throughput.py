@@ -50,16 +50,17 @@ def main() -> None:
     from tab2neo_spark.operators.dedup import remove_repeated_regions
     from tab2neo_spark.session import get_spark
 
+    from tab2neo_spark.session import shuffle_partitions_for
+
     # UI on for this tool only: the status API's per-stage spill counters
     # are the no-spill evidence.
-    # Shuffle partitions scale with DATA VOLUME, not core count: the chain
-    # shuffles ~40 window digests per page, and the per-partition agg
-    # state must fit execution memory (10M pages / 32 partitions = 12M
-    # digest rows each -> measured 174 GB of spill; /256 fits). AQE
-    # coalescing makes over-partitioning free for the small stages — this
-    # is exactly the spark.sql.shuffle.partitions ∝ data sizing a 100 TB
-    # deployment applies per-job.
-    shuffle_parts = max(cores, n_pages // 50_000)
+    # Shuffle partitions scale with DATA VOLUME, not core count (the
+    # sizing rule in session.shuffle_partitions_for / docs/PLANS.md §20):
+    # the chain shuffles ~40 window digests per page, and per-partition
+    # agg state must fit execution memory (10M pages / 32 partitions =
+    # 12M digest rows each -> measured 174 GB of spill; ~200 fits, zero
+    # spill, 3.4x faster).
+    shuffle_parts = max(cores, shuffle_partitions_for(n_pages * 40))
     spark = get_spark(app_name=f"curation_{cores}", cores=cores,
                       shuffle_partitions=shuffle_parts,
                       extra_conf={"spark.ui.enabled": "true"})
