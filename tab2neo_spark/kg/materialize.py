@@ -407,6 +407,13 @@ class GraphStore:
         value collapses to one task -> one file per live partition
         directory); unpartitioned tables repartition to
         ``ceil(bytes / target_file_bytes)``."""
+        if table.endswith("__bucketed"):
+            raise ValueError(
+                f"{table!r} is a bucketed layout: its files carry bucket-id "
+                "naming the session catalog depends on, and a plain rewrite "
+                "would corrupt the zero-Exchange join contract — re-run "
+                "write_bucketed to compact it instead"
+            )
         path = self.path(table)
         before = self._parquet_files(path)
         bytes_before = sum(os.path.getsize(f) for f in before)

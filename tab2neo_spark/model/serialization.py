@@ -335,7 +335,22 @@ def parse_ttl_graph(text: str) -> dict:
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
-        toks.append((kind, m.group()))
+        tok = m.group()
+        # legal Turtle allows the statement terminator directly after a
+        # prefixed name ('x:Method.') — the greedy word class swallows it,
+        # which would desynchronize the whole rest of the document; peel
+        # trailing '.'s back off as punct tokens (PN_LOCAL cannot END with
+        # '.', so a trailing dot is always the terminator)
+        if (
+            kind == "word"
+            and tok.endswith(".")
+            and len(tok) > 1
+            and not _NUM_RE.match(tok)
+        ):
+            toks.append((kind, tok[:-1]))
+            toks.append(("punct", "."))
+            continue
+        toks.append((kind, tok))
 
     nodes: dict[str, dict] = {}
     rels: list[dict] = []

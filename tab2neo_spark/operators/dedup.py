@@ -290,9 +290,29 @@ def simhash_pairs_from_fps(
     per-block equi-joins is a complete candidate set — no near pair can be
     missed (the pre-r5 fixed-2-block form guaranteed only d<=1). Each
     block join is an ordinary shuffled equi-join on a small int key;
-    verification is one bit_count per candidate."""
+    verification is one bit_count per candidate.
+
+    SELECTIVITY caveat: exact recall divides the fingerprint into
+    max_hamming+1 blocks, so each block key has only 2^(bits/(d+1))
+    values — candidates per block grow ~n^2 / 2^width. 16-bit
+    fingerprints with d=3 leave 4-bit keys: brute-force all-pairs in
+    disguise beyond ~10^5 docs. At corpus scale use wider fingerprints
+    (simhash is capped at 32 bits by its md5-prefix portability; a
+    64-bit production variant should hash with xxhash64) or accept
+    bounded recall via an explicit smaller ``n_blocks``. A warning fires
+    when a block is narrower than 12 bits."""
+    import warnings
+
     nb = n_blocks if n_blocks is not None else max_hamming + 1
     widths = simhash_block_widths(bits, nb)
+    if min(widths) < 12:
+        warnings.warn(
+            f"simhash blocking: {nb} blocks over {bits} bits leaves a "
+            f"{min(widths)}-bit block key (2^{min(widths)} buckets) — "
+            "candidate generation is near-quadratic beyond ~1e5 docs; "
+            "use wider fingerprints or fewer blocks at corpus scale",
+            stacklevel=2,
+        )
     shift = 0
     blocked = fps
     for i, w in enumerate(widths):

@@ -233,9 +233,13 @@ class DerivationMethod:
             r["toId"] for r in g["relationships"] if r["type"] == "METHOD_ACTION"
         }
         for n in g["nodes"]:
-            # the reference writes a display 'id' prop (= the action type)
-            # on action nodes; it is not an action parameter
-            if n["id"] in action_ids:
+            # the reference writes a display 'id' prop (= the action TYPE
+            # string) on action nodes; strip only that pattern, so a
+            # genuine 'id' action PARAMETER (value != type) survives the
+            # round-trip like it does on the JSON path
+            if n["id"] in action_ids and n["properties"].get("id") == n[
+                "properties"
+            ].get("type"):
                 n["properties"].pop("id", None)
         return cls.from_arrows_json(
             spark, g, provider=provider, source_df=source_df

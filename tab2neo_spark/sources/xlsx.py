@@ -134,11 +134,22 @@ def read_xlsx(path: str, sheet_name: str | int = 0) -> pd.DataFrame:
         return pd.DataFrame()
 
     header = rows[0]
-    ncols = max(header) + 1 if header else 0
+    # width = widest ROW, not just the header (data cells beyond the
+    # header's extent must not be dropped)
+    ncols = max((max(r) + 1 for r in rows if r), default=0)
     cols = [
         str(header.get(i)) if header.get(i) is not None else f"Unnamed: {i}"
         for i in range(ncols)
     ]
+    # duplicate header names dedup pandas-style ('id', 'id.1', ...) — a
+    # name-keyed dict would silently overwrite one column with another
+    seen: dict[str, int] = {}
+    for i, c in enumerate(cols):
+        if c in seen:
+            seen[c] += 1
+            cols[i] = f"{c}.{seen[c]}"
+        else:
+            seen[c] = 0
     data = {
         cols[i]: [r.get(i) for r in rows[1:]] for i in range(ncols)
     }
@@ -186,6 +197,15 @@ def write_xlsx(path: str, sheets: dict[str, pd.DataFrame]) -> None:
         return sindex[s]
 
     def cell_xml(ref: str, v) -> str:
+        # numpy scalars (what iterrows yields from HOMOGENEOUS-dtype
+        # frames: np.int64/np.float64/np.bool_) are not instances of the
+        # Python scalar types — unbox first or every all-int column would
+        # silently round-trip as text
+        if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+            try:
+                v = v.item()
+            except (ValueError, AttributeError):
+                pass
         if v is None or (isinstance(v, float) and v != v):
             return ""
         if isinstance(v, bool):

@@ -159,10 +159,22 @@ def stream_decontaminate(
     return query
 
 
-def release(query) -> None:
-    """Await a (terminating) streaming query and unpersist any cached
-    static-side tables it carries (``bench_digests``)."""
-    query.awaitTermination()
+def release(query, stop: bool = False, timeout: float | None = None) -> None:
+    """Release a streaming query's cached static-side tables
+    (``bench_digests``): await termination, then unpersist.
+
+    A CONTINUOUS query (``trigger_available_now=False``) never terminates
+    on its own — pass ``stop=True`` to stop it first, or a ``timeout``
+    (seconds) to bound the wait; a bare ``release(q)`` on a continuous
+    query would block forever. The unpersist runs even when a timed wait
+    expires (the cache is safe to drop at any point — it only costs
+    recompute)."""
+    if stop:
+        query.stop()
+    if timeout is not None:
+        query.awaitTermination(timeout)
+    else:
+        query.awaitTermination()
     dig = getattr(query, "bench_digests", None)
     if dig is not None:
         dig.unpersist()
