@@ -238,20 +238,45 @@ def minhash_dedup_pairs(
 # -- SimHash ----------------------------------------------------------------
 
 
-def simhash(df: DataFrame, content_col: str, id_col: str, bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    bits: int = 16,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Per-doc ``bits``-wide SimHash fingerprint as a long.
 
-    Each distinct token votes +1/-1 per bit position (bit b of the token's
-    md5-derived integer); fingerprint bit = majority sign. Entirely
-    aggregate expressions — one shuffle on id, partial aggregation applies.
-    ``bits<=32`` so the token hash fits in the first 8 hex chars of md5 —
-    portable to the SQL oracle via conv/hex arithmetic."""
+    Each distinct token votes +1/-1 per bit position (bit b of the
+    token's hash); fingerprint bit = majority sign. Entirely aggregate
+    expressions — one shuffle on id, partial aggregation applies.
+
+    ``hash_fn``: ``"md5"`` (oracle mode, default) derives the token hash
+    from the first 8 hex chars of md5 — SQL-replicable via conv/hex
+    arithmetic, but capped at ``bits<=32``. ``"xxhash64"`` (production
+    mode, the repo's standard dual-mode split) uses the full 64-bit JVM
+    xxhash64 — ``bits<=64``, which is what makes EXACT-recall blocking
+    selective at corpus scale (64 bits / 4 blocks = 16-bit keys vs the
+    4-bit keys a 16-bit fingerprint leaves)."""
+    if hash_fn == "xxhash64":
+        if bits > 64:
+            raise ValueError("xxhash64 simhash supports bits<=64")
+        token_hash = F.xxhash64("word")
+    elif hash_fn == "md5":
+        if bits > 32:
+            raise ValueError(
+                "md5 simhash is capped at bits<=32 (8-hex-char prefix); "
+                "use hash_fn='xxhash64' for wider fingerprints"
+            )
+        token_hash = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     words = F.split(F.lower(F.col(content_col)), r"[^a-z0-9]+")
     words = F.filter(words, lambda w: w != "")
     tok = (
         df.select(F.col(id_col), F.explode(words).alias("word"))
         .distinct()
-        .withColumn("h", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long"))
+        .withColumn("h", token_hash)
     )
     votes = [
         F.sum(
@@ -260,11 +285,17 @@ def simhash(df: DataFrame, content_col: str, id_col: str, bits: int = 16) -> Dat
         for b in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
-    fp = None
+    # bitwise OR of shifted single bits, not addition: bit 63 as an
+    # integer literal would overflow a signed long; OR of disjoint bits
+    # is value-identical to the old sum for every bits<=32 fingerprint
+    fp = F.lit(0).cast("long")
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+        bit = F.when(
+            F.col(f"v{b}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        fp = fp.bitwiseOR(bit)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_block_widths(bits: int, n_blocks: int) -> list[int]:
@@ -345,11 +376,14 @@ def simhash_near_pairs(
     bits: int = 16,
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Pairs whose SimHash Hamming distance <= max_hamming, with EXACT
     recall: ``max_hamming + 1`` candidate blocks (pigeonhole-complete; see
-    :func:`simhash_pairs_from_fps`)."""
-    fps = simhash(df, content_col, id_col, bits)
+    :func:`simhash_pairs_from_fps`). Production calls at corpus scale
+    should pass ``bits=64, hash_fn="xxhash64"`` so the block keys stay
+    selective; the md5 default is the SQL-oracle mode."""
+    fps = simhash(df, content_col, id_col, bits, hash_fn)
     return simhash_pairs_from_fps(fps, id_col, bits, max_hamming, n_blocks)
 
 

@@ -160,3 +160,59 @@ def test_release_stop_and_timeout():
 
     release(FakeQuery(), stop=True, timeout=5)
     assert calls == ["stop", ("await", 5), "unpersist"]
+
+
+def test_simhash_xxhash64_production_mode(spark):
+    """64-bit production fingerprints: the full hamming<=d pair set still
+    matches a brute-force check, fingerprints actually use the high bits
+    (selective 16-bit block keys at d=3, no narrow-block warning), and
+    md5 mode is unchanged by the OR-accumulation rewrite."""
+    import warnings
+
+    from tab2neo_spark.operators.dedup import (
+        simhash, simhash_near_pairs, simhash_pairs_from_fps,
+    )
+
+    rows = [(i, f"alpha beta gamma token{i} delta epsilon") for i in range(30)]
+    rows += [(100 + i, f"alpha beta gamma token{i} delta zeta") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = simhash(df, "text", "doc_id", bits=64, hash_fn="xxhash64")
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    # high bits in use: some fingerprint exceeds the 32-bit md5 range
+    assert any(v < 0 or v > 0xFFFFFFFF for v in vals.values())
+
+    for d in (2, 3):
+        exp = sorted(
+            (a, b, bin((vals[a] ^ vals[b]) & (2**64 - 1)).count("1"))
+            for a in vals for b in vals
+            if a < b and bin((vals[a] ^ vals[b]) & (2**64 - 1)).count("1") <= d
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # 64/4 blocks: no narrow warn
+            got = sorted(
+                map(tuple,
+                    simhash_pairs_from_fps(
+                        fps, "doc_id", bits=64, max_hamming=d
+                    ).collect())
+            )
+        assert got == exp, f"d={d}"
+
+    # end-to-end production call
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = simhash_near_pairs(
+            df, "text", "doc_id", bits=64, max_hamming=3, hash_fn="xxhash64"
+        )
+        assert out.count() == len(exp)
+
+    # md5 16-bit fingerprints are value-stable under the OR rewrite
+    # (the DuckDB oracle computes sum of 1<<bit — same number)
+    md5fps = {r["doc_id"]: r["simhash"]
+              for r in simhash(df, "text", "doc_id", bits=16).collect()}
+    assert all(0 <= v <= 0xFFFF for v in md5fps.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capped at bits<=32"):
+        simhash(df, "text", "doc_id", bits=64, hash_fn="md5")
