@@ -281,9 +281,13 @@ def _ttl_local(token: str) -> str:
 
 
 def _ttl_unescape(s: str) -> str:
-    return (
-        s.replace("\\n", "\n").replace("\\t", "\t")
-        .replace('\\"', '"').replace("\\\\", "\\")
+    # one left-to-right pass, NOT sequential global replaces: '\\\\n'
+    # (escaped backslash + n) must yield '\\n', but a '\\n'-first global
+    # replace eats the second backslash and fabricates a newline
+    return _re.sub(
+        r"\\(.)",
+        lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(m.group(1), m.group(1)),
+        s,
     )
 
 
@@ -382,12 +386,20 @@ def parse_ttl_graph(text: str) -> dict:
             if pt == ";":
                 i += 1
                 continue
-            pred = "a" if (pk == "word" and pt == "a") else _ttl_local(pt)
+            # rdf:type is the BARE keyword 'a' or the full rdf-ns URI —
+            # decided on the raw token, never the localized name (a
+            # property legitimately NAMED 'a', e.g. t2sm:a, must stay a
+            # property)
+            is_type = (pk == "word" and pt == "a") or (
+                pk == "uriref"
+                and pt[1:-1] == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+            )
+            pred = _ttl_local(pt)
             i += 1
             while i < len(toks):
                 ok, ot = toks[i]
                 i += 1
-                if pred == "a":
+                if is_type:
                     node(subj)["labels"].append(_ttl_local(ot))
                 elif ok == "uriref" or (
                     ok == "word" and ":" in ot and not _NUM_RE.match(ot)

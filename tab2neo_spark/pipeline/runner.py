@@ -271,7 +271,7 @@ class DerivationMethod:
             if isinstance(v, (int, float)):
                 return repr(v)
             s = str(v).replace("\\", "\\\\").replace('"', '\\"')
-            s = s.replace("\n", "\\n").replace("\t", "\\t")
+            s = s.replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
             return f'"{s}"'
 
         lines = ["@prefix t2sm: <urn:tab2neo-spark:method#> .", ""]

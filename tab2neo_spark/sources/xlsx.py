@@ -161,7 +161,14 @@ def read_xlsx(path: str, sheet_name: str | int = 0) -> pd.DataFrame:
             if len(non_null) and all(isinstance(x, float) for x in non_null):
                 df[c] = col.astype(float)
                 col = df[c]
-        if col.dtype == float and col.notna().all() and (col % 1 == 0).all():
+        if (
+            col.dtype == float
+            and col.notna().all()
+            and (col % 1 == 0).all()
+            # int64-range guard: a whole-number float >= 2^63 would wrap
+            # on astype; the margin absorbs float rounding at the boundary
+            and (col.abs() < float(2**63) * (1 - 2**-52)).all()
+        ):
             df[c] = col.astype("int64")
     return df
 
