@@ -323,3 +323,24 @@ def test_pq_assign_zero_shuffle_and_search_take_ordered(spark, sf_dir):
     splan = _plan(top)
     assert "TakeOrderedAndProject" in splan
     assert "EvalPython" not in splan
+
+
+def test_pq_rerank_stage2_is_broadcast(spark, sf_dir):
+    """Two-stage rerank plan shape: the topk-candidate id set joins back
+    as the BROADCAST side (only `rerank` rows cross the wire — the
+    corpus never shuffles for the join), and the final ranking is again
+    TakeOrderedAndProject."""
+    from tab2neo_spark.operators.pq import pq_assign, pq_rerank_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, "embedding", "vec_id", m=4, k=4, sample=64, iters=2)
+    coded = pq_assign(emb, "embedding", cb)
+    top = pq_rerank_topk(
+        coded, "embedding", "pq_codes", "vec_id", [0.0] * 64, cb,
+        topk=5, rerank=50,
+    )
+    plan = _plan(top)
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
