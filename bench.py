@@ -206,27 +206,13 @@ def main() -> None:
         for cores in SCALING_CORES:
             scaling[f"local_{cores}"] = _run_level(cores)
 
-        # interference guard (host noise is 2-4x, BENCH/BASELINE.md): when a
-        # level's own samples disperse >2x, an external interference window
-        # hit that run — re-run the level ONCE and keep the better (lower)
-        # min wall, recording both so the artifact shows the dispersion
-        for cores in SCALING_CORES:
-            r = scaling[f"local_{cores}"]
-            walls = r.get("walls_all") or [] if isinstance(r, dict) else []
-            if len(walls) >= 2 and max(walls) > 2.0 * min(walls):
-                r2 = _run_level(cores)
-                if r2.get("docs_per_sec", 0) > r.get("docs_per_sec", 0):
-                    r2["dispersion_rerun"] = {"kept": "rerun", "first_walls": walls}
-                    scaling[f"local_{cores}"] = r2
-                else:
-                    r["dispersion_rerun"] = {
-                        "kept": "first", "rerun_walls": r2.get("walls_all")
-                    }
-
         # N -> 4N pairs present in the configured core list. Interference
         # can hit one level's ENTIRE window (all reps suppressed, no
         # within-level dispersion), so EVERY level that participates in an
         # efficiency pair gets a second measurement window UNCONDITIONALLY
+        # — this also subsumes the old within-level dispersion guard (a
+        # dispersed first window simply loses the max-throughput
+        # comparison), keeping total bench wall inside the driver timeout
         # — symmetric, not gated on which side of 0.8 the first pass lands
         # (ADVICE r4: a one-sided retry-below-target policy biases the
         # reported efficiency upward). Per level we keep the max-throughput
