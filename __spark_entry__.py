@@ -67,6 +67,28 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return construct_kg(spark, pages, unique_urls=True).triples
 
 
+def q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention projection (kg/analytics.co_mention_edges, new
+    r5): the bipartite page->entity MENTIONS graph folds into weighted
+    entity-entity edges WITHOUT a mention-table self-join — per-page
+    entity arrays pair in-row, only (a, b) pairs shuffle."""
+    from tab2neo_spark.kg.analytics import co_mention_edges
+
+    return co_mention_edges(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-mention graph pruned to
+    weight >= 3 (kg/analytics.triangle_counts, new r5): canonical a<b<c
+    two-join enumeration, exploded to node participation counts."""
+    from tab2neo_spark.kg.analytics import co_mention_edges, triangle_counts
+
+    edges = co_mention_edges(q_kg_triples(spark, sf_dir)).filter(
+        F.col("weight") >= 3
+    )
+    return triangle_counts(edges)
+
+
 def q_kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tab2neo_spark.kg.canon import canonical_map
     from tab2neo_spark.model.gazetteer import same_as_df
@@ -1376,9 +1398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round ----------------------------------------------------
         "pq_ivf_topk": q_pq_ivf_topk,
         "ann_recall": q_ann_recall,
+        "kg_comention": q_kg_comention,
+        "kg_triangles": q_kg_triangles,
         # -- previously green (r4 rows), oldest-r4-slot first ------------------
-        "corpus_select": q_corpus_select,
-        "ngram_counts": q_ngram_counts,
         "tfidf_top": q_tfidf_top,
         "corpus_split": q_corpus_split,
         "embed_neardup": q_embed_neardup,
@@ -1386,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row cap boundary (driver gates the first 50 entries) --------
         # everything below holds a green r4 row and is re-verifiable any
         # time via tools/check_correctness.py
+        "corpus_select": q_corpus_select,
+        "ngram_counts": q_ngram_counts,
         "salted_distinct": q_salted_distinct,
         "term_chain": q_term_chain,
         "asof_join": q_asof_join,
@@ -1993,6 +2017,40 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY obj
         """,
         "kg_pagerank": _pagerank_oracle(mentions_cte, _URL, iterations=3),
+        "kg_comention": f"""
+            {mentions_cte},
+            pe AS (
+                SELECT DISTINCT {_URL} AS page, m.class || ':' || m.canon AS ent
+                FROM m JOIN documents USING (doc_id)
+            )
+            SELECT x.ent AS a, y.ent AS b, count(*) AS weight
+            FROM pe x JOIN pe y ON x.page = y.page AND x.ent < y.ent
+            GROUP BY 1, 2
+        """,
+        "kg_triangles": f"""
+            {mentions_cte},
+            pe AS (
+                SELECT DISTINCT {_URL} AS page, m.class || ':' || m.canon AS ent
+                FROM m JOIN documents USING (doc_id)
+            ),
+            ce AS (
+                SELECT x.ent AS a, y.ent AS b, count(*) AS weight
+                FROM pe x JOIN pe y ON x.page = y.page AND x.ent < y.ent
+                GROUP BY 1, 2
+            ),
+            e AS (SELECT a, b FROM ce WHERE weight >= 3),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT id, count(*)::BIGINT AS n_triangles FROM (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY id
+        """,
         "set_ops": """
             WITH b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
                  m AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
