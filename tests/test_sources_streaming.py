@@ -503,15 +503,29 @@ def test_stream_dedup_within_watermark_late_arrival(spark, tmp_path):
             rows, "doc_id long, ts timestamp, text string"
         ).write.parquet(path)
 
+    import time as _time
+
     drop = str(tmp_path / "drop")
+    # Distinct mtimes between the files are LOAD-BEARING: the file source
+    # orders micro-batches by modification time, and same-second files
+    # can process out of order (b3 before b2), leaving the watermark too
+    # low to have evicted the replayed signature — a timing flake.
     # b1: original + in-window duplicate (same text, 1 min later)
     batch(f"{drop}/b1.parquet",
           [(1, t0, "alpha beta gamma"),
            (2, t0 + _dt.timedelta(minutes=1), "alpha beta gamma"),
            (3, t0, "unrelated text here")])
+    _time.sleep(1.1)
     # b2: advances event time far beyond the 10-minute watermark
     batch(f"{drop}/b2.parquet",
           [(4, t0 + _dt.timedelta(hours=2), "fresh content")])
+    _time.sleep(1.1)
+    # b2b: a second advancement batch — the engine applies the event-time
+    # watermark with a ONE-BATCH LAG (batch N uses stats through N-1), so
+    # a single advancing batch right before the replay is a timing race
+    batch(f"{drop}/b2b.parquet",
+          [(6, t0 + _dt.timedelta(hours=2, seconds=30), "more fresh stuff")])
+    _time.sleep(1.1)
     # b3: LATE replay of the b1 text — state for it was evicted
     batch(f"{drop}/b3.parquet",
           [(5, t0 + _dt.timedelta(hours=2, minutes=1), "alpha beta gamma")])
@@ -538,4 +552,4 @@ def test_stream_dedup_within_watermark_late_arrival(spark, tmp_path):
     # deterministic), and the LATE replay (5) is re-emitted because its
     # signature state was evicted when the watermark passed
     assert len([i for i in ids if i in (1, 2)]) == 1
-    assert 3 in ids and 4 in ids and 5 in ids and len(ids) == 4
+    assert 3 in ids and 4 in ids and 6 in ids and 5 in ids and len(ids) == 5
