@@ -60,15 +60,19 @@ def _ngram_digests(
         return step.select(
             F.col(id_col), F.explode(F.array_distinct(grams)).alias("digest")
         )
-    # guard short docs: sequence(1, 0) would DESCEND ([1, 0]) and slice at
-    # index 0 errors — a doc with < n words simply has no n-grams
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
-    ).otherwise(F.array().cast("array<int>"))
+    # md5 mode: the digest is over the JOINED WORD STRING (the oracle
+    # recomputes it), but the word array STILL needs the projection
+    # boundary — inlined, Catalyst re-evaluates the whole
+    # split/lower/filter once per slice() element and the pass goes
+    # O(len·n) -> O(len²) (the same trap the xxhash64 branch guards;
+    # measured 33 s -> ~3 s at sf1.0). ngram_positions guards short docs
+    # (sequence(1, 0) DESCENDS).
+    step = df.select(F.col(id_col), words.alias("_w"))
     grams = F.transform(
-        idx, lambda i: digest(F.array_join(F.slice(words, i, n), " "), hash_fn)
+        ngram_positions(F.col("_w"), n),
+        lambda i: digest(F.array_join(F.slice(F.col("_w"), i, n), " "), hash_fn),
     )
-    return df.select(
+    return step.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("digest")
     )
 
