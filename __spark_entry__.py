@@ -22,6 +22,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tb(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Balanced read for queries with heavy UNPRUNABLE per-row compute
+    (regex scans, digest explosions): the driver's parquet tables are
+    single files with 1-6 row groups, so a plain read runs every narrow
+    expression in 1-6 tasks regardless of core count (a row group is the
+    parallelism floor of a scan). ensure_min_partitions round-robins such
+    scans up to the default parallelism. Measured per query — queries
+    whose work count() prunes (or that scan the table several times) are
+    FASTER on the plain read, so balancing is opt-in per call site, never
+    blanket."""
+    from tab2neo_spark.session import ensure_min_partitions
+
+    return ensure_min_partitions(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -46,7 +61,7 @@ def q_kg_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tab2neo_spark.datagen import pages_from_documents
     from tab2neo_spark.extract.html import extract_text_udf
 
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir, balance=True)
     return pages.select("url", extract_text_udf(F.col("html")).alias("extracted"))
 
 
@@ -54,7 +69,7 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tab2neo_spark.extract.mentions import detect_mentions
     from tab2neo_spark.model.gazetteer import gazetteer_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tb(spark, sf_dir, "documents")
     m = detect_mentions(docs, gazetteer_df(spark), text_col="text", id_col="doc_id")
     return m.groupBy("class", "surface").agg(F.count("*").alias("n_mentions"))
 
@@ -63,7 +78,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tab2neo_spark.datagen import pages_from_documents
     from tab2neo_spark.kg.construct import construct_kg
 
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir, balance=True)
     return construct_kg(spark, pages, unique_urls=True).triples
 
 
@@ -101,7 +116,7 @@ def q_kg_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tab2neo_spark.datagen import pages_from_documents
     from tab2neo_spark.kg.construct import construct_kg
 
-    kg = construct_kg(spark, pages_from_documents(spark, sf_dir), unique_urls=True)
+    kg = construct_kg(spark, pages_from_documents(spark, sf_dir, balance=True), unique_urls=True)
     return (
         kg.triples.filter(F.col("pred") == "MENTIONS")
         .groupBy("obj")
@@ -117,7 +132,7 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tab2neo_spark.kg.analytics import pagerank
     from tab2neo_spark.kg.construct import construct_kg
 
-    kg = construct_kg(spark, pages_from_documents(spark, sf_dir), unique_urls=True)
+    kg = construct_kg(spark, pages_from_documents(spark, sf_dir, balance=True), unique_urls=True)
     edges = kg.triples.filter(F.col("pred") == "MENTIONS").select("subj", "obj")
     return pagerank(edges, "subj", "obj", iterations=3)
 
@@ -128,7 +143,7 @@ def _kg_provider(spark: SparkSession, sf_dir: str):
     from tab2neo_spark.model.gazetteer import webtext_model
     from tab2neo_spark.provider import DataProvider
 
-    kg = construct_kg(spark, pages_from_documents(spark, sf_dir), unique_urls=True)
+    kg = construct_kg(spark, pages_from_documents(spark, sf_dir, balance=True), unique_urls=True)
     return DataProvider(spark, webtext_model(), kg.nodes, kg.edges)
 
 

@@ -67,7 +67,9 @@ def _finish_pages(df: DataFrame, native_html: bool = True) -> DataFrame:
     return df.withColumn("html", html).select("url", "warc_ts", "html", "text", "lang")
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+def pages_from_documents(
+    spark: SparkSession, sf_dir: str, replicate: int = 1, balance: bool = False
+) -> DataFrame:
     """Wrap the driver's documents table into pages; ``text`` is the ground
     truth for the byte-identical extraction check (after re-adding the
     deterministic page chrome — see extract.html.extracted_from_built).
@@ -75,8 +77,19 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -
     ``replicate`` > 1 fans each document out into distinct urls
     (deterministic copy index) so the bench can scale input without
     external data.
+
+    ``balance=True`` repartitions an under-split documents scan up to the
+    default parallelism BEFORE the html-build/extract pipeline (the
+    driver's documents.parquet is one row group — a single task otherwise
+    runs the whole per-page chain; session.ensure_min_partitions). Off by
+    default so zero-shuffle plan tests and real many-row-group inputs
+    see the unchanged narrow plan.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if balance:
+        from tab2neo_spark.session import ensure_min_partitions
+
+        docs = ensure_min_partitions(docs)
     if replicate > 1:
         copies = spark.range(replicate).withColumnRenamed("id", "copy")
         docs = docs.crossJoin(copies).withColumn(

@@ -93,9 +93,14 @@ def ngram_collisions(
     recomputing the static side — pass a persisted table when probing
     repeatedly (micro-batches, multiple corpora against one benchmark)."""
     bench_id_col = bench_id_col or id_col
-    c = _ngram_digests(corpus, text_col, id_col, n, hash_fn).withColumnRenamed(
-        id_col, "corpus_id"
-    )
+    # under-split corpus scans (single-row-group files) would run the whole
+    # tokenize+digest pass in one task — balance BEFORE digesting (no-op on
+    # real many-row-group inputs; session.ensure_min_partitions)
+    from tab2neo_spark.session import ensure_min_partitions
+
+    c = _ngram_digests(
+        ensure_min_partitions(corpus), text_col, id_col, n, hash_fn
+    ).withColumnRenamed(id_col, "corpus_id")
     b = (
         bench_digests
         if bench_digests is not None

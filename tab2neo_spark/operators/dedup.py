@@ -70,13 +70,19 @@ def word_shingles(
     transform/explode) — a narrow, codegen'd stage."""
     words = F.split(F.lower(F.col(content_col)), r"[^a-z0-9]+")
     words = F.filter(words, lambda w: w != "")
+    # projection boundary: the word array must be MATERIALIZED before the
+    # slice lambda references it — inlined, Catalyst re-evaluates the whole
+    # split/lower/filter once per position and the pass goes O(len·k) ->
+    # O(len²) (the decontam/_ngram_digests trap; docs/PLANS.md §17)
+    step = df.select(F.col(id_col), words.alias("_w"))
+    w = F.col("_w")
     shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+        F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i + 1, k), " "),
     )
-    shingles = F.when(F.size(words) >= k, shingles).otherwise(F.array())
+    shingles = F.when(F.size(w) >= k, shingles).otherwise(F.array())
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        step.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -421,6 +427,12 @@ def repeated_ngram_spans(
     dominant memory term of the whole chain (measured: the 10M-page
     headroom run's spill source). Callers that only need the >=min_count
     decision (the destructive cut path) should pass False."""
+    # an under-split input (single-row-group file) would run the whole
+    # tokenize+digest+explode map side in ONE task; balance up to default
+    # parallelism first (no-op on real many-row-group inputs)
+    from tab2neo_spark.session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
     )

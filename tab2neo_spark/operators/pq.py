@@ -48,6 +48,14 @@ from tab2neo_spark.operators.hashing import md5_rank_key
 from tab2neo_spark.operators.numeric import det_round
 
 
+def _sql_double(x: float) -> str:
+    """Exact double literal for generated SQL: repr() is the shortest
+    round-trip form and the string->double cast parses it back to the
+    bit-identical IEEE value (plain SQL float literals would become
+    DECIMAL and change the arithmetic)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
 def kmeans_codebook(
     X: np.ndarray, m: int, k: int, iters: int
 ) -> list[list[list[float]]]:
@@ -129,40 +137,54 @@ def pq_assign(
     to reuse — recomputed expressions are not, the Catalyst CSE gotcha)."""
     m = len(codebook)
     sub = len(codebook[0][0])
+    # an under-split vector scan (single-row-group file) would evaluate
+    # every per-row argmin in ONE task; balance to default parallelism
+    # first (no-op on real many-row-group inputs — the assignment itself
+    # stays a fused, shuffle-free projection, plan-tested on balanced
+    # input)
+    from tab2neo_spark.session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     vec = F.col(vec_col).cast("array<double>")
     step = df.withColumns(
         {f"_s{j}": F.slice(vec, j * sub + 1, sub) for j in range(m)}
     )
-    def _dists(j: int):
-        cbj = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in centroid])
-                for centroid in codebook[j]
-            ]
+
+    # The per-subspace distance array renders as ONE SQL string per
+    # subspace (F.expr), not nested Column calls: the m·k·(d/m)-literal
+    # tree built literal-by-literal costs one py4j round trip per node —
+    # ~0.9 s of pure driver time at m=8,k=16, and multiples of that at
+    # the gate family's m=16,k=128. The SQL text parses in a single JVM
+    # call into the IDENTICAL expression: CAST('<repr>' AS DOUBLE)
+    # round-trips every IEEE double exactly, the fold shape
+    # (zip_with -> aggregate left fold -> det_round floor formula)
+    # matches the old Column construction op-for-op, and the distance
+    # array sits behind its own projection so the argmin's two consumers
+    # (array_position + array_min) reference the attribute, never
+    # re-inline the tree.
+    def _dist_sql(j: int) -> str:
+        cb_sql = "array(" + ",".join(
+            "array(" + ",".join(_sql_double(v) for v in c) + ")"
+            for c in codebook[j]
+        ) + ")"
+        inner = (
+            f"aggregate(zip_with(`_s{j}`, c, (a, b) -> (a - b) * (a - b)), "
+            f"{_sql_double(0.0)}, (acc, v) -> acc + v)"
         )
-        # NB: single-arg lambda only — pyspark reads a second parameter
-        # as the element INDEX, so a `_j=j` default-capture breaks it
-        return F.transform(
-            cbj,
-            lambda c: det_round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(f"_s{j}"), c, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                dp,
-            ),
+        scale = _sql_double(float(10 ** dp))
+        return (
+            f"transform({cb_sql}, c -> floor(({inner}) * {scale} + "
+            f"{_sql_double(0.5)}) / {scale})"
         )
 
+    step = step.withColumns({f"_d{j}": F.expr(_dist_sql(j)) for j in range(m)})
     codes = []
     for j in range(m):
-        dists = _dists(j)
+        dists = F.col(f"_d{j}")
         # array_position returns the FIRST match (1-based) -> lowest index
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return step.withColumn(out_col, F.array(*codes)).drop(
-        *[f"_s{j}" for j in range(m)]
+        *[f"_s{j}" for j in range(m)], *[f"_d{j}" for j in range(m)]
     )
 
 
@@ -182,7 +204,11 @@ def pq_search_topk(
     m = len(codebook)
     sub = len(codebook[0][0])
     q = [float(x) for x in query]
-    luts = []
+    # the ADC score renders as ONE SQL expression (same py4j-chatter
+    # reasoning as pq_assign's distance arrays); the explicit leading
+    # 0.0 preserves the exact left-fold addition shape of the previous
+    # Column construction
+    terms = []
     for j in range(m):
         qj = q[j * sub : (j + 1) * sub]
         # det_round's floor(x*10^dp+0.5)/10^dp formula, NOT Python
@@ -192,12 +218,11 @@ def pq_search_topk(
             / 10**dp
             for c in codebook[j]
         ]
-        luts.append(F.array(*[F.lit(v) for v in lut]))
-    score = F.lit(0.0)
-    for j in range(m):
-        score = score + F.element_at(
-            luts[j], F.element_at(F.col(codes_col), j + 1) + 1
+        lut_sql = "array(" + ",".join(_sql_double(v) for v in lut) + ")"
+        terms.append(
+            f"element_at({lut_sql}, element_at(`{codes_col}`, {j + 1}) + 1)"
         )
+    score = F.expr(" + ".join([_sql_double(0.0)] + terms))
     return (
         df.select(F.col(id_col), det_round(score, dp).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.col(id_col))
@@ -240,7 +265,7 @@ def pq_rerank_topk(
     rerank=200 measure recall@10 = 1.0 vs exact (the ann_recall gate
     asserts >= 0.9 end-to-end)."""
     cand = pq_search_topk(df, codes_col, id_col, query, codebook, rerank, dp)
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = F.expr("array(" + ",".join(_sql_double(float(x)) for x in query) + ")")
     exact = det_round(sq_l2(F.col(vec_col).cast("array<double>"), q), dp)
     return (
         df.join(F.broadcast(cand.select(id_col)), on=id_col, how="inner")

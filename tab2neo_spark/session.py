@@ -34,6 +34,31 @@ def shuffle_partitions_for(
     return max(floor, math.ceil(max(n_rows, 1) / rows_per_partition))
 
 
+def ensure_min_partitions(df, min_parts: int | None = None):
+    """Guard against pathologically under-split inputs (optimization guide
+    §2.5 "input skew": one huge unsplittable file -> repartition right
+    after the read).
+
+    Parquet row groups are the parallelism floor of a scan: a single-row-
+    group file runs every downstream narrow expression (tokenize, digest,
+    regex, PQ assignment) in ONE task no matter how many cores are idle.
+    When the plan's partition count is below the session's default
+    parallelism, round-robin repartition to it — EXPLICIT numPartitions so
+    AQE's partition coalescing respects the user-specified count. The
+    shuffle moves the raw rows once (MBs at the scales where the branch can
+    fire); at production scale a real table carries more row groups than
+    the cluster has cores, the branch is a no-op, and the zero-shuffle
+    plan shapes the tests assert are unchanged.
+
+    Streaming DataFrames pass through untouched (no .rdd on a stream)."""
+    if getattr(df, "isStreaming", False):
+        return df
+    n = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def get_spark(
     app_name: str = "tab2neo_spark",
     cores: int | str | None = None,

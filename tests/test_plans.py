@@ -315,7 +315,13 @@ def test_pq_assign_zero_shuffle_and_search_take_ordered(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cb = pq_train(emb, "embedding", "vec_id", m=4, k=4, sample=64, iters=2)
-    coded = pq_assign(emb, "embedding", cb)
+    # a WELL-PARTITIONED input (the 100 TB shape): localCheckpoint so the
+    # balancing repartition is outside the asserted plan — pq_assign
+    # itself must add NO exchange on top of it (r6: pq_assign balances
+    # pathologically under-split scans, which the tiny test file is)
+    n = spark.sparkContext.defaultParallelism
+    balanced = emb.repartition(n).localCheckpoint()
+    coded = pq_assign(balanced, "embedding", cb)
     plan = _plan(coded)
     assert "Exchange" not in plan, plan[:600]
     assert "EvalPython" not in plan
