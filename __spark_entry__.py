@@ -582,12 +582,26 @@ def q_pack_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top order per customer. Same result as the original
+    row_number-over-(price DESC, orderkey ASC) window, computed as a
+    max_by PARTIAL AGGREGATION (guide §2.3 "aggregate before you
+    shuffle"): the window form shuffles and sorts every order row; the
+    agg form map-side-combines to one row per customer before the
+    exchange. The ordering struct (o_totalprice, -o_orderkey) is
+    lexicographically maximal exactly at (max price, min orderkey) —
+    unique, so tie-free and value-identical to the window (oracle
+    unchanged, hash-verified)."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+    top = orders.groupBy("o_custkey").agg(
+        F.max_by(
+            F.struct("o_orderkey", "o_totalprice"),
+            F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("_nk")),
+        ).alias("_t")
+    )
+    return top.select(
+        "o_custkey",
+        F.col("_t.o_orderkey").alias("o_orderkey"),
+        F.round("_t.o_totalprice", 2).alias("top_price"),
     )
 
 
@@ -1329,8 +1343,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tab2neo_spark.operators.corpus import pack_token_sequences
     from tab2neo_spark.operators.textstats import token_count
 
-    docs = token_count(_t(spark, sf_dir, "documents"), "text").select(
-        "doc_id", "n_tokens"
+    # pack_token_sequences consumes its input TWICE (eager per-band sums
+    # + the final banded window): persist the tiny (doc_id, n_tokens)
+    # projection so the text-tokenizing scan runs once, not twice
+    # (recomputed fresh per invocation; the ContextCleaner drops the
+    # block once the result goes out of scope)
+    docs = (
+        token_count(_t(spark, sf_dir, "documents"), "text")
+        .select("doc_id", "n_tokens")
+        .persist()
     )
     out = pack_token_sequences(docs, "doc_id", "n_tokens", max_tokens=512)
     return out.select("doc_id", "seq_id", "start_offset")

@@ -98,6 +98,23 @@ def collect_metadata(gaz: DataFrame, same_as: DataFrame) -> KGMetadata:
     )
 
 
+def default_metadata() -> KGMetadata:
+    """KGMetadata for the DEFAULT gazetteer/SAME_AS without any Spark job:
+    both live as literal Python lists (model/gazetteer.py is the single
+    source of truth feeding the DataFrames AND the oracle SQL), so
+    collecting them back out of Spark costs 3 tiny jobs per
+    construct_kg call for data the driver already holds. Same union-find,
+    same rows — value-identical to collect_metadata(gazetteer_df(...),
+    same_as_df(...)) by construction."""
+    from tab2neo_spark.kg.canon import _union_find_driver
+    from tab2neo_spark.model.gazetteer import GAZETTEER, SAME_AS
+
+    return KGMetadata(
+        gaz_rows=[(c, s, t) for c, s, t in GAZETTEER],
+        canon_lookup=_union_find_driver([(a, b) for a, b in SAME_AS]),
+    )
+
+
 def _page_keys_narrow(pages: DataFrame, meta: KGMetadata) -> DataFrame | None:
     """Per-page deduped mention keys ``(url, cks: array<string>)`` with no
     shuffle, or None if the gazetteer needs the generic join path.
@@ -182,10 +199,19 @@ def construct_kg(
     (``pages.dropDuplicates(['url'])``, 1 row/url) instead of paying a
     per-mention shuffle in every run.
     """
-    gaz = gazetteer if gazetteer is not None else gazetteer_df(spark)
-    sa = same_as if same_as is not None else same_as_df(spark)
     if metadata is None:
-        metadata = collect_metadata(gaz, sa)
+        if gazetteer is None and same_as is None:
+            # default dictionaries: metadata straight from the literal
+            # source-of-truth lists — zero Spark jobs (see default_metadata)
+            metadata = default_metadata()
+        else:
+            metadata = collect_metadata(
+                gazetteer if gazetteer is not None else gazetteer_df(spark),
+                same_as if same_as is not None else same_as_df(spark),
+            )
+    # the gazetteer DataFrame is only needed by the inspection-grade
+    # mentions output — built lazily inside the thunk, not per call
+    gaz = gazetteer
 
     if not use_existing_text:
         pages = pages.withColumn("text", extract_text_udf(F.col("html")))
@@ -199,7 +225,9 @@ def construct_kg(
             "surface string, canonical string",
         )
         raw = detect_mentions(
-            pages, gaz, text_col="text", id_col="url",
+            pages,
+            gaz if gaz is not None else gazetteer_df(spark),
+            text_col="text", id_col="url",
             surfaces=sorted({s for _, s, _ in metadata.gaz_rows}),
         )
         return apply_canonical(raw, canon, col="surface", out_col="canonical")

@@ -464,16 +464,47 @@ def repeated_ngram_spans(
     spans = base.select(F.col(id_col), span.alias("s")).select(
         id_col, "s.start_token", "s._dg"
     )
-    aggs = [F.count("*").alias("n_occurrences")]
     if with_doc_counts:
-        aggs.append(F.count_distinct(id_col).alias("n_docs"))
+        # Single-explosion shape (r6): the naive `spans ⋈ spans.groupBy`
+        # join-back evaluates the tokenize+digest explosion TWICE (Spark
+        # shares no subtrees across self-joins) and — worse — the
+        # planner's post-explode size estimate is the tiny SCAN size, so
+        # it broadcast the heavy position stream as the build side.
+        # Aggregating positions per (digest, doc) first costs the same
+        # (digest, doc) shuffle the old count_distinct pre-agg already
+        # paid, the corpus-wide totals reduce from that small relation,
+        # and both join inputs are now shuffle stages whose TRUE runtime
+        # sizes AQE sees — the filtered totals side broadcasts, the
+        # positions side never does. Output multiset is identical
+        # (positions re-explode per doc; n_occurrences = Σ per-doc
+        # counts; n_docs = doc count per digest).
+        per_doc = spans.groupBy("_dg", id_col).agg(
+            F.collect_list("start_token").alias("_pos"),
+            F.count("*").alias("_n_in_doc"),
+        )
+        counts = (
+            per_doc.groupBy("_dg")
+            .agg(
+                F.sum("_n_in_doc").alias("n_occurrences"),
+                F.count("*").alias("n_docs"),
+            )
+            .filter(F.col("n_occurrences") >= min_count)
+        )
+        return per_doc.join(counts, "_dg").select(
+            id_col,
+            F.explode("_pos").alias("start_token"),
+            "n_occurrences",
+            "n_docs",
+        )
+    # lean path (the destructive cut): digest-only aggregation state —
+    # deliberately NOT the (digest, doc) pre-agg, whose per-entry state
+    # is the dominant memory term at 10M+ docs (see docstring)
     counts = (
         spans.groupBy("_dg")
-        .agg(*aggs)
+        .agg(F.count("*").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
+        .withColumn("n_docs", F.lit(None).cast("long"))
     )
-    if not with_doc_counts:
-        counts = counts.withColumn("n_docs", F.lit(None).cast("long"))
     return spans.join(counts, "_dg").select(
         id_col, "start_token", "n_occurrences", "n_docs"
     )
