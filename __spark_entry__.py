@@ -69,8 +69,16 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tab2neo_spark.extract.mentions import detect_mentions
     from tab2neo_spark.model.gazetteer import gazetteer_df
 
+    from tab2neo_spark.model.gazetteer import GAZETTEER
+
     docs = _tb(spark, sf_dir, "documents")
-    m = detect_mentions(docs, gazetteer_df(spark), text_col="text", id_col="doc_id")
+    # surfaces from the literal source-of-truth list: skips the
+    # distinct-collect Spark job detect_mentions otherwise runs at plan
+    # construction time (same value set by definition)
+    m = detect_mentions(
+        docs, gazetteer_df(spark), text_col="text", id_col="doc_id",
+        surfaces=sorted({s for _, s, _ in GAZETTEER}),
+    )
     return m.groupBy("class", "surface").agg(F.count("*").alias("n_mentions"))
 
 

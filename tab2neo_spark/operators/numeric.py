@@ -23,3 +23,13 @@ def det_round(col: Column, dp: int) -> Column:
 def det_round_sql(expr: str, dp: int) -> str:
     scale = float(10**dp)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def sql_double(x: float) -> str:
+    """Exact double literal for generated SQL: repr() is the shortest
+    round-trip form and the string->double cast parses it back to the
+    bit-identical IEEE value (plain SQL float literals would become
+    DECIMAL and change the arithmetic). Used by expression builders that
+    render large literal arrays as one F.expr string instead of one py4j
+    call per node (pq, similarity)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"

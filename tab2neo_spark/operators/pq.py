@@ -46,14 +46,7 @@ import math
 
 from tab2neo_spark.operators.hashing import md5_rank_key
 from tab2neo_spark.operators.numeric import det_round
-
-
-def _sql_double(x: float) -> str:
-    """Exact double literal for generated SQL: repr() is the shortest
-    round-trip form and the string->double cast parses it back to the
-    bit-identical IEEE value (plain SQL float literals would become
-    DECIMAL and change the arithmetic)."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+from tab2neo_spark.operators.numeric import sql_double as _sql_double
 
 
 def kmeans_codebook(

@@ -50,9 +50,12 @@ def cosine_topk(
     would make the k-boundary depend on last-ulp noise). orderBy+limit
     compiles to TakeOrderedAndProject — per-partition top-k then a k-row
     merge, not a global sort."""
-    from tab2neo_spark.operators.numeric import det_round
+    from tab2neo_spark.operators.numeric import det_round, sql_double
 
-    q = F.array(*[F.lit(float(x)) for x in query])
+    # one F.expr call instead of one py4j call per literal (and `q` is
+    # referenced twice in cosine() — dot + norm — so the per-call saving
+    # doubles); identical doubles via exact CAST literals
+    q = F.expr("array(" + ",".join(sql_double(float(x)) for x in query) + ")")
     sim = det_round(cosine(F.col(vec_col).cast("array<double>"), q), dp)
     return (
         df.select(F.col(id_col), sim.alias("cos_sim"))
