@@ -58,14 +58,21 @@ def pack_map(
     )
     # (no null-entry filter needed: collect_set already drops the NULL
     # the when() produces for null-key rows)
-    n = F.size(entries)
+    # projection boundary: the sorted entry array is materialized by the
+    # aggregation BEFORE the lookahead lambda references it — inlined,
+    # the sort_array(collect_set(...)) would re-evaluate once per element
+    # (O(n² log n) per group; the lambda-CSE trap, docs/PLANS.md §17)
+    grouped = df.groupBy(*keys).agg(entries.alias("_entries"))
+    e = F.col("_entries")
+    n = F.size(e)
     # F.get is 0-indexed and NULL (never ANSI error) out of bounds, so
     # the i == n-1 guard composes safely with the lookahead
     last_per_key = F.filter(
-        entries,
-        lambda x, i: (i == n - 1) | (F.get(entries, i + 1)["key"] != x["key"]),
+        e, lambda x, i: (i == n - 1) | (F.get(e, i + 1)["key"] != x["key"])
     )
-    return df.groupBy(*keys).agg(F.map_from_entries(last_per_key).alias(out_col))
+    return grouped.select(
+        *keys, F.map_from_entries(last_per_key).alias(out_col)
+    )
 
 
 def disjoint_collect(df: DataFrame, cols: Sequence[str]) -> DataFrame:

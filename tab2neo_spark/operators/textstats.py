@@ -130,7 +130,12 @@ def ngram_counts(
     JVM ``transform(sequence(...))`` (no Python), one explode, one
     partial-aggregating groupBy — the LM-statistics pass of a
     training-data pipeline. Returns ``(ngram, n_count)``."""
-    toks = _words(text_col)
+    # projection boundary: the token array must be materialized before
+    # the slice lambda references it — inlined, Catalyst re-evaluates the
+    # whole split/filter once per position (O(len²); the decontam /
+    # word_shingles trap, docs/PLANS.md §17)
+    step = df.select(_words(text_col).alias("_w"))
+    toks = F.col("_w")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -139,7 +144,7 @@ def ngram_counts(
         ),
     ).otherwise(F.array().cast("array<string>"))
     out = (
-        df.select(F.explode(grams).alias("ngram"))
+        step.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_count"))
     )

@@ -68,16 +68,28 @@ def minhash_signature_expr(
             ),
         )
         return F.element_at(sig, 1)
-    mins = [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda sh: digest(F.concat_ws("#", sh, F.lit(str(s))), hash_fn),
-            )
-        ).cast("string")
-        for s in range(num_hashes)
-    ]
-    return F.concat_ws("|", *mins)
+    # same lambda-binding boundary as the xxhash64 branch: referencing
+    # `shingles` once per seed re-inlines (and re-evaluates) the whole
+    # tokenize+distinct num_hashes times per row; binding it to a lambda
+    # variable evaluates it once (r6 — values unchanged, same digests)
+    sig = F.transform(
+        F.array(shingles),
+        lambda a: F.concat_ws(
+            "|",
+            *[
+                F.array_min(
+                    F.transform(
+                        a,
+                        lambda sh: digest(
+                            F.concat_ws("#", sh, F.lit(str(s))), hash_fn
+                        ),
+                    )
+                ).cast("string")
+                for s in range(num_hashes)
+            ],
+        ),
+    )
+    return F.element_at(sig, 1)
 
 
 def stream_signature_dedup(
