@@ -97,12 +97,19 @@ def detect_mentions(
         )
 
     pat = gazetteer_pattern(surfaces)
-    hits = pages.select(
+    # single-token surfaces can only match runs of [a-z0-9] — the
+    # separator-collapsing normalization is an identity there, and at
+    # ~40 hits/doc the per-hit regexp_replace is a measurable term (r6:
+    # ~0.5 s over 2M hits at sf1.0). Multi-word gazetteers keep it.
+    needs_norm = any(" " in s for s in surfaces)
+    raw = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 1)
+    ).alias("raw_match")
+    hits = pages.select(id_col, raw).select(
         id_col,
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 1)
-        ).alias("raw_match"),
-    ).select(id_col, normalize_match(F.col("raw_match")).alias("surface"))
+        (normalize_match(F.col("raw_match")) if needs_norm
+         else F.col("raw_match")).alias("surface"),
+    )
     return hits.join(F.broadcast(gazetteer), "surface", "inner").select(
         id_col, "class", "surface", "term_code"
     )

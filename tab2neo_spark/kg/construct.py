@@ -152,8 +152,17 @@ def _page_keys_narrow(pages: DataFrame, meta: KGMetadata) -> DataFrame | None:
     pat = gazetteer_pattern(surfaces)
     hits = F.array_distinct(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 1))
     # matches of multi-word surfaces may carry arbitrary separators —
-    # normalize to the canonical single-space surface before lookup
-    keys = F.array_distinct(F.transform(hits, lambda w: surface_map[normalize_match(w)]))
+    # normalize to the canonical single-space surface before lookup;
+    # single-token surfaces can only match [a-z0-9] runs, so the
+    # normalization is an identity and the per-hit regexp_replace is
+    # skipped (r6)
+    needs_norm = any(" " in s for s in surfaces)
+    keys = F.array_distinct(
+        F.transform(
+            hits,
+            lambda w: surface_map[normalize_match(w) if needs_norm else w],
+        )
+    )
     return pages.select("url", keys.alias("cks"))
 
 
