@@ -308,8 +308,14 @@ def pack_token_sequences(
         return df.withColumn("seq_id", F.lit(0).cast("long")).withColumn(
             "start_offset", F.lit(0).cast("long")
         )
-    offset_map = F.create_map(
-        *[x for b, off in offsets.items() for x in (F.lit(b), F.lit(off))]
+    # the 256 per-band offsets render as ONE parsed array literal indexed
+    # by band (bands are dense 0..255) — a create_map of 256 pairs built
+    # lit-by-lit cost ~512 py4j calls and a far larger codegen unit;
+    # element_at returns NULL only for bands absent from the input, whose
+    # rows don't exist by construction
+    dense = [offsets.get(b, 0) for b in range(256)]
+    offset_arr = F.expr(
+        "array(" + ",".join(f"{v}L" for v in dense) + ")"
     )
     w = (
         Window.partitionBy("_band")
@@ -318,7 +324,7 @@ def pack_token_sequences(
     )
     start = (
         F.coalesce(F.sum(token_col).over(w), F.lit(0))
-        + offset_map[F.col("_band")]
+        + F.element_at(offset_arr, F.col("_band") + 1)
     ).cast("long")
     return (
         banded.withColumn("start_offset", start)
