@@ -431,6 +431,22 @@ class GraphStore:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(tmp)
+        # VERIFY the rewrite before the destructive swap (r5 ADVICE): a
+        # row-losing rewrite — or a concurrent append landing between the
+        # snapshot read and the swap (compaction assumes a single writer,
+        # like every GraphStore mutation) — must abort with the original
+        # directory intact, not be recorded as an unchecked number.
+        rows_tmp = sum(self._footer_histogram(self._parquet_files(tmp)).values())
+        if rows_tmp != rows_before:
+            import shutil
+
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compact({table!r}): rewrite holds {rows_tmp} rows but the "
+                f"source held {rows_before} — aborting before the swap "
+                "(concurrent append, or a row-dropping read?); original "
+                "directory left untouched"
+            )
         self._swap_dirs(tmp, path)
 
         after = self._parquet_files(path)

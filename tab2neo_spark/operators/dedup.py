@@ -341,6 +341,24 @@ def simhash_pairs_from_fps(
     import warnings
 
     nb = n_blocks if n_blocks is not None else max_hamming + 1
+    if nb > bits:
+        # more blocks than bits would make the excess blocks ZERO bits
+        # wide: mask (1<<0)-1 = 0 gives every row block key 0 — a silent
+        # full cross join regardless of fingerprint content (r5 ADVICE).
+        # Clamp so every block is >= 1 bit; pigeonhole completeness
+        # survives whenever the clamped count still covers max_hamming+1.
+        if bits < max_hamming + 1:
+            raise ValueError(
+                f"simhash blocking: exact recall at hamming {max_hamming} "
+                f"needs {max_hamming + 1} blocks but the fingerprint has "
+                f"only {bits} bits — use wider fingerprints"
+            )
+        warnings.warn(
+            f"simhash blocking: n_blocks={nb} > bits={bits} — clamped to "
+            f"{bits} one-bit blocks (candidate set unchanged in coverage)",
+            stacklevel=2,
+        )
+        nb = bits
     widths = simhash_block_widths(bits, nb)
     if min(widths) < 12:
         warnings.warn(
@@ -490,7 +508,15 @@ def repeated_ngram_spans(
             )
             .filter(F.col("n_occurrences") >= min_count)
         )
-        return per_doc.join(counts, "_dg").select(
+        # SHUFFLE_HASH building the totals side: Catalyst's static size
+        # estimate of a post-explode subtree is the (tiny) scan size, so
+        # left unhinted it BROADCASTS the heavy positions relation — fine
+        # at small SFs, a driver-memory hazard as the input grows. The
+        # hinted shape is scale-safe: one digest-keyed exchange of each
+        # side, hash build over the strictly-smaller filtered totals
+        # (counts ⊆ per_doc by construction), no sort of the big side,
+        # and AQE skew-split still applies to shuffled hash joins.
+        return per_doc.join(counts.hint("shuffle_hash"), "_dg").select(
             id_col,
             F.explode("_pos").alias("start_token"),
             "n_occurrences",
@@ -505,7 +531,9 @@ def repeated_ngram_spans(
         .filter(F.col("n_occurrences") >= min_count)
         .withColumn("n_docs", F.lit(None).cast("long"))
     )
-    return spans.join(counts, "_dg").select(
+    # same SHUFFLE_HASH rationale as above: never let the static
+    # estimate broadcast the raw position stream
+    return spans.join(counts.hint("shuffle_hash"), "_dg").select(
         id_col, "start_token", "n_occurrences", "n_docs"
     )
 

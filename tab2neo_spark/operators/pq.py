@@ -296,6 +296,7 @@ def pq_ivf_topk(
     topk: int = 10,
     nprobe: int = 2,
     dp: int = 6,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVFPQ: coarse cells prune the corpus (IVF), PQ codes score what
     remains (ADC) — the composition that serves at 100 TB where neither
@@ -304,10 +305,20 @@ def pq_ivf_topk(
     driver-side; the ``nprobe`` nearest cells are filtered (a partition-
     pruned read when ``cell_col`` is the partition key — see
     :func:`build_ivfpq_index`), codes are assigned and ADC-ranked inside.
-    """
+
+    NOTE (r5 ADVICE): this INLINE form computes the cell centroids with a
+    full-corpus aggregation per query. Pass ``centroids`` (rows with
+    ``cell_col`` + ``centroid``, e.g. the materialized index's sidecar
+    collected once, or ``ivf_centroids(df, ...).collect()`` persisted by
+    the caller) to make the cell ranking metadata-scale; repeated serving
+    should use :func:`pq_ivf_topk_indexed`, which reads the sidecar."""
     from tab2neo_spark.operators.similarity import ivf_centroids
 
-    cents = ivf_centroids(df, vec_col, cell_col).collect()
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, vec_col, cell_col).collect()
+    )
     probe = _rank_cells_by_query(cents, cell_col, query, dp)[:nprobe]
     probed = df.filter(F.col(cell_col).isin(probe))
     coded = pq_assign(probed, vec_col, codebook)

@@ -121,7 +121,23 @@ def read_xlsx(path: str, sheet_name: str | int = 0) -> pd.DataFrame:
         root = ET.fromstring(zf.read(member))
 
     rows: list[dict[int, object]] = []
+    prev_r: int | None = None
     for row in root.iter(f"{{{_NS_MAIN}}}row"):
+        # honor the row's 1-based ``r`` index (r5 ADVICE): writers may
+        # OMIT blank-row elements, and ignoring the indices shifted all
+        # later rows up relative to pandas/openpyxl. Interior gaps become
+        # empty dicts (-> all-NaN data rows); rows BEFORE the first
+        # element stay skipped (used-range semantics — the first present
+        # row is the header, as pandas does).
+        r_attr = row.get("r")
+        r_idx = (
+            int(r_attr)
+            if r_attr and r_attr.isdigit()
+            else (prev_r + 1 if prev_r is not None else 1)
+        )
+        if prev_r is not None:
+            rows.extend({} for _ in range(max(0, r_idx - prev_r - 1)))
+        prev_r = r_idx
         cells: dict[int, object] = {}
         auto = 0
         for c in row.iter(f"{{{_NS_MAIN}}}c"):
