@@ -498,12 +498,22 @@ def repeated_ngram_spans(
         # counts; n_docs = doc count per digest).
         per_doc = spans.groupBy("_dg", id_col).agg(
             F.collect_list("start_token").alias("_pos"),
-            F.count("*").alias("_n_in_doc"),
         )
+        # totals derive FROM per_doc (size(_pos) == the per-doc position
+        # count), not from a separate count aggregation over spans: with
+        # byte-identical aggregation subtrees on both sides of the
+        # join-back, Spark's ReuseExchange turns the second
+        # scan→tokenize→digest→explode→partial-collect pass into a
+        # ReusedExchange — the explosion map side runs ONCE per
+        # execution instead of twice (the differing partial aggs
+        # [collect_list vs pruned count] defeated reuse before; plan
+        # delta: 2 Generate/2 Scan → 1, asserted by
+        # test_repeated_spans_explodes_once).
         counts = (
-            per_doc.groupBy("_dg")
+            per_doc.select("_dg", F.size("_pos").alias("_n_in_doc"))
+            .groupBy("_dg")
             .agg(
-                F.sum("_n_in_doc").alias("n_occurrences"),
+                F.sum("_n_in_doc").cast("long").alias("n_occurrences"),
                 F.count("*").alias("n_docs"),
             )
             .filter(F.col("n_occurrences") >= min_count)

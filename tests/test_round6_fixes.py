@@ -203,3 +203,20 @@ def test_repeated_spans_join_never_broadcasts_positions(spark, sf_dir):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "ShuffledHashJoin" in plan, plan[:1200]
         assert "BroadcastExchange" not in plan, plan[:1200]
+
+
+def test_repeated_spans_explodes_once(spark, sf_dir):
+    """with_doc_counts=True must evaluate the tokenize+digest explosion
+    ONCE per execution: totals derive from the same (digest, doc)
+    collect_list aggregation as the position side, so the two join
+    inputs share one shuffle-map stage (AQE exchange reuse). A divergent
+    totals subtree (e.g. a separate count aggregation over spans)
+    silently doubles the dominant map-side work."""
+    from tab2neo_spark.operators.dedup import repeated_ngram_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repeated_ngram_spans(docs, "text", "doc_id", n=8, min_count=2)
+    cnt = out.groupBy().count()
+    cnt.collect()  # execute so AQE finalizes stage reuse
+    final = cnt._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final[:1500]
