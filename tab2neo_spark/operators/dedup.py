@@ -128,6 +128,41 @@ def ngram_jaccard_pairs(
 # -- MinHash + LSH ---------------------------------------------------------
 
 
+def _minhash_wide(
+    shingles: DataFrame, id_col: str, num_hashes: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, _m0.._m{n-1}): per-seed minhash minima as WIDE columns in one
+    ``groupBy(id)`` pass — no seed explode (the row count stays at the
+    shingle count instead of num_hashes times it) and no second
+    per-(id, seed) shuffle. The md5 mode's ``min(string)`` buffers force
+    a sort-based aggregate either way; here the sort runs over 1x rows
+    keyed by id alone. Seeds are compile-time literals of the SAME types
+    the exploded form produced (int seed, ``concat_ws`` casting), so the
+    digests — and therefore the minima — are bit-identical."""
+    if hash_fn == "xxhash64":
+        # hash each shingle's TEXT once (projection boundary), combine
+        # with the seed numerically: the same construction the streaming
+        # signature expression uses, so batch and stream signatures stay
+        # asserted-identical
+        base = shingles.select(
+            id_col, F.xxhash64(F.col("shingle")).alias("_sh")
+        )
+        mins = [
+            F.min(F.xxhash64(F.col("_sh"), F.lit(s))).alias(f"_m{s}")
+            for s in range(num_hashes)
+        ]
+    else:
+        base = shingles
+        mins = [
+            F.min(
+                digest(F.concat_ws("#", F.col("shingle"), F.lit(s)), hash_fn)
+            ).alias(f"_m{s}")
+            for s in range(num_hashes)
+        ]
+    return base.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 8,
     hash_fn: str = "xxhash64",
@@ -135,28 +170,18 @@ def minhash_signatures(
     """(id, seed, minhash): minhash_s = min over shingles of
     hash(shingle || '#' || s).
 
-    min() is algebraic -> partial aggregation keeps the shuffle tiny
-    (num_hashes rows per doc regardless of shingle count). num_hashes
-    seeds are generated by string suffixing — no RNG, identical on any
-    engine. The two hash modes order values differently (numeric vs hex
-    lexicographic) so they select different — equally valid — minima;
-    candidates are mode-consistent, never mode-mixed."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    if hash_fn == "xxhash64":
-        # hash each shingle's TEXT once (projection before the seed
-        # explode — post-explode it would re-hash num_hashes times),
-        # combine with the seed numerically: the same construction the
-        # streaming signature expression uses, so batch and stream
-        # signatures stay asserted-identical
-        pre = shingles.select(
-            id_col, F.xxhash64(F.col("shingle")).alias("_sh")
-        )
-        exploded = pre.select(id_col, "_sh", seeds)
-        h = F.xxhash64(F.col("_sh"), F.col("seed"))
-    else:
-        exploded = shingles.select(id_col, "shingle", seeds)
-        h = digest(F.concat_ws("#", F.col("shingle"), F.col("seed")), hash_fn)
-    return exploded.groupBy(id_col, "seed").agg(F.min(h).alias("minhash"))
+    Computed wide (:func:`_minhash_wide`) then unpivoted with one
+    doc-scale posexplode — the explode multiplies num_hashes tiny rows
+    per document AFTER aggregation, not per shingle before it.
+    num_hashes seeds are generated by literal suffixing — no RNG,
+    identical on any engine. The two hash modes order values differently
+    (numeric vs hex lexicographic) so they select different — equally
+    valid — minima; candidates are mode-consistent, never mode-mixed."""
+    wide = _minhash_wide(shingles, id_col, num_hashes, hash_fn)
+    arr = F.array(*[F.col(f"_m{s}") for s in range(num_hashes)])
+    return wide.select(
+        F.col(id_col), F.posexplode(arr).alias("seed", "minhash")
+    )
 
 
 def minhash_lsh_candidates(
@@ -167,33 +192,58 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     hash_fn: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
-    band value = digest of the band's concatenated minhashes; docs
-    bucket-join on (band_idx, band_value). The join is equi on a digest —
+    band value = digest of the band's concatenated minhashes, computed
+    IN-ROW from the wide signature (:func:`_minhash_wide`): the whole
+    scan -> shingle explode -> digest -> min pipeline is one linear pass
+    ending in a single groupBy(id) shuffle — no per-(id, seed) second
+    shuffle, no collect_list band aggregate. Docs bucket-join on
+    (band_idx, band_value); the join is equi on a digest —
     broadcast-able per bucket, AQE-splittable when a bucket is hot
-    (boilerplate pages)."""
-    sh = word_shingles(df, content_col, id_col, k)
-    sig = minhash_signatures(sh, id_col, num_hashes, hash_fn)
+    (boilerplate pages). The (id, band, band_val) table — num_hashes
+    small rows per document — is persisted so the digest pipeline runs
+    ONCE, not once per self-join side (the two identical subtrees do not
+    reliably collapse to a ReusedExchange). ``shingles`` lets a caller
+    that already materialized :func:`word_shingles` (the verify path)
+    share it."""
+    sh = shingles if shingles is not None else word_shingles(
+        df, content_col, id_col, k
+    )
+    wide = _minhash_wide(sh, id_col, num_hashes, hash_fn)
     rows_per_band = num_hashes // bands
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        # seed order inside the band fixed by sort_array on (seed, minhash)
-        .agg(
+    # per band: minhashes cast to string in seed order, '|'-joined, then
+    # digested — byte-identical to the old sort_array(collect_list)
+    # construction (seed order is the sort order; no NULL minima reach
+    # the join because empty-shingle docs never leave the explode)
+    # group seeds exactly as the old (seed // rows_per_band) banding did:
+    # ceil(num_hashes / rows_per_band) groups, the last possibly short
+    n_groups = -(-num_hashes // rows_per_band)
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
             digest(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+                F.concat_ws(
                     "|",
+                    *[
+                        F.col(f"_m{s}").cast("string")
+                        for s in range(
+                            b * rows_per_band,
+                            min((b + 1) * rows_per_band, num_hashes),
+                        )
+                    ],
                 ),
                 hash_fn,
-            ).alias("band_val")
+            ).alias("band_val"),
         )
-    )
+        for b in range(n_groups)
+    ]
+    banded = wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_bv")
+    ).select(F.col(id_col), F.col("_bv.band"), F.col("_bv.band_val"))
+    banded = banded.persist()
     L = banded.select(F.col(id_col).alias("a"), "band", "band_val")
     R = banded.select(F.col(id_col).alias("b"), "band", "band_val")
     return (
@@ -216,25 +266,51 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the full scale path:
     linear candidate generation, quadratic verification only inside
-    buckets."""
+    buckets.
+
+    The distinct (id, shingle) table feeds FOUR consumers (signatures,
+    per-doc sizes, both sides of the common-shingle join), so it is
+    persisted (memory-and-disk) and shared — one tokenize+explode+
+    distinct pass instead of four. At corpus scale the persisted table
+    is token-scale; the alternative is four full scan+shuffle passes."""
+    sh = word_shingles(df, content_col, id_col, k).persist()
     cand = minhash_lsh_candidates(
-        df, content_col, id_col, k, num_hashes, bands, hash_fn
+        df, content_col, id_col, k, num_hashes, bands, hash_fn,
+        shingles=sh,
     )
-    sh = word_shingles(df, content_col, id_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("b"), "shingle")
-    common = (
-        cand.join(a_sh, "a")
-        .join(b_sh, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
+    # verification via per-doc sorted shingle-SET arrays joined onto the
+    # pair ids: |A ∩ B| = size(array_intersect) in-row, |A|/|B| = the
+    # array sizes. The old shape exploded cand x A's shingles (pairs x
+    # doc-length rows) through a (b, shingle) shuffle join plus a
+    # groupBy(a, b) plus two size joins; this one moves only the pair
+    # ids and two doc-set tables (AQE broadcasts them when small), and
+    # the dense-bucket pair blowup never multiplies by shingle count.
+    # Counts are the exact same integers — intersect over distinct
+    # shingle strings, no digests involved.
+    doc_sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("_set")
     )
-    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    a_sets = doc_sets.select(
+        F.col(id_col).alias("a"), F.col("_set").alias("_aset")
+    )
+    b_sets = doc_sets.select(
+        F.col(id_col).alias("b"), F.col("_set").alias("_bset")
+    )
+    scored = (
+        cand.join(a_sets, "a")
+        .join(b_sets, "b")
+        # projection boundary: common is consumed twice by the jaccard
+        # arithmetic below (lambda-CSE discipline, docs/PLANS.md §17)
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_aset", "_bset")).alias("common"),
+            F.size("_aset").alias("na"),
+            F.size("_bset").alias("nb"),
+        )
+    )
     return (
-        common.join(na, "a")
-        .join(nb, "b")
+        scored
         .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))

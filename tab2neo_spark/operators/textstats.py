@@ -162,20 +162,28 @@ def tfidf_top_terms(
     + two aggregations + a broadcast-sized idf join (vocabulary-scale) +
     a per-document window top-k. Scores are det_round'ed BEFORE ranking,
     ties break on the term, so the top-k SET is engine-independent.
-    Returns ``(id_col, term, score)``."""
+    Returns ``(id_col, term, score)``.
+
+    N rides along as a broadcast one-row aggregate (the oracle's scalar
+    subquery shape) rather than an eager ``df.count()``: no driver-blocking
+    action at plan-build time, and the count scans only at execution.
+    ``count(*)::double / df_t`` is the same IEEE arithmetic as the old
+    ``lit(float(n)) / df_t``."""
     from pyspark.sql import Window
 
     from tab2neo_spark.operators.numeric import det_round
 
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     terms = df.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
-    scored = tf.join(dfreq, "term").select(
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)).select(
         F.col(id_col),
         "term",
         det_round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), dp
+            F.col("tf")
+            * F.log(F.col("_n_docs").cast("double") / F.col("df_t")),
+            dp,
         ).alias("score"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("term"))

@@ -220,3 +220,56 @@ def test_repeated_spans_explodes_once(spark, sf_dir):
     cnt.collect()  # execute so AQE finalizes stage reuse
     final = cnt._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, final[:1500]
+
+
+# -- r6 minhash family rewrite: wide signatures + array-intersect verify --
+
+
+def _old_exploded_signatures(sh, id_col, num_hashes, hash_fn):
+    """The pre-r6 exploded construction, kept verbatim as the reference:
+    explode seeds per shingle, groupBy(id, seed) min."""
+    from tab2neo_spark.operators.hashing import digest
+
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    if hash_fn == "xxhash64":
+        pre = sh.select(id_col, F.xxhash64(F.col("shingle")).alias("_sh"))
+        exploded = pre.select(id_col, "_sh", seeds)
+        h = F.xxhash64(F.col("_sh"), F.col("seed"))
+    else:
+        exploded = sh.select(id_col, "shingle", seeds)
+        h = digest(F.concat_ws("#", F.col("shingle"), F.col("seed")), hash_fn)
+    return exploded.groupBy(id_col, "seed").agg(F.min(h).alias("minhash"))
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_minhash_signatures_wide_equals_exploded(spark, sf_dir, hash_fn):
+    """The wide one-pass signature must be bit-identical to the old
+    seed-exploded groupBy(id, seed) form in BOTH hash modes (same
+    strings digested, same minima, same dtypes)."""
+    from tab2neo_spark.operators.dedup import minhash_signatures, word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = word_shingles(docs, "text", "doc_id", k=1)
+    new = minhash_signatures(sh, "doc_id", num_hashes=8, hash_fn=hash_fn)
+    ref = _old_exploded_signatures(sh, "doc_id", 8, hash_fn)
+    assert new.schema == ref.schema, (new.schema, ref.schema)
+    key = lambda t: (t[0], t[1])  # noqa: E731
+    assert sorted(map(tuple, new.collect()), key=key) == sorted(
+        map(tuple, ref.collect()), key=key
+    )
+
+
+def test_minhash_verified_uses_array_intersect_not_shingle_join(spark, sf_dir):
+    """The verify step must score candidates via in-row
+    size(array_intersect) over per-doc shingle sets — never by exploding
+    candidate pairs against the (id, shingle) table (pairs x doc-length
+    rows through a shuffle). The shingle table itself must be persisted
+    (one tokenize+explode+distinct pass shared by all consumers)."""
+    from tab2neo_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_dedup_pairs(docs, "text", "doc_id", k=1, num_hashes=8,
+                              bands=4, threshold=0.7, hash_fn="md5")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan, plan[:1500]
+    assert "InMemoryTableScan" in plan, plan[:1500]
