@@ -78,19 +78,27 @@ def score_and_resolve(
 ) -> DataFrame:
     """Per page: score all candidates, keep the best entity per surface.
 
-    ``groupBy(url).applyInPandas``: each group is one page's candidate set
-    (bounded by the gazetteer), the cosine matrix is one numpy matmul.
-    Deterministic tie-break on entity id. Output:
-    (url, surface, entity, score).
+    ``groupBy(bucket).applyInPandas``: pages are grouped by a
+    DETERMINISTIC hash bucket of the id (``pmod(xxhash64(url), n)``, n =
+    4x default parallelism), not by the id itself — one-page groups make
+    the Arrow group machinery (per-group pandas construction + schema
+    conversion) the dominant cost at corpus scale, and a real encoder
+    wants big batches anyway. Inside a bucket the cosine is one
+    vectorized einsum over every candidate row; the per-(url, surface)
+    argmax with deterministic entity tie-break happens in the same
+    pandas pass, so the resolved links are row-identical to the old
+    one-group-per-page form. Output: (url, surface, entity, score).
     """
     out_schema = f"{id_col} string, {surface_col} string, {entity_col} string, score double"
 
     def resolve(pdf: pd.DataFrame) -> pd.DataFrame:
-        pv = np.asarray(pdf[page_vec_col].iloc[0], dtype=np.float64)
+        pv = np.stack(pdf[page_vec_col].map(np.asarray).to_list())
         ev = np.stack(pdf[entity_vec_col].map(np.asarray).to_list())
-        denom = np.linalg.norm(ev, axis=1) * (np.linalg.norm(pv) or 1.0)
+        pvn = np.linalg.norm(pv, axis=1)
+        pvn[pvn == 0] = 1.0
+        denom = np.linalg.norm(ev, axis=1) * pvn
         denom[denom == 0] = 1.0
-        scores = ev @ pv / denom
+        scores = np.einsum("ij,ij->i", ev, pv) / denom
         res = pd.DataFrame(
             {
                 id_col: pdf[id_col],
@@ -102,13 +110,17 @@ def score_and_resolve(
                 "score": np.floor(scores * 1e6 + 0.5) / 1e6,
             }
         )
-        # argmax per surface; ties -> lexicographically first entity
+        # argmax per (url, surface); ties -> lexicographically first entity
         res = res.sort_values(["score", entity_col], ascending=[False, True])
-        return res.groupby(surface_col, as_index=False).first()[
+        return res.groupby([id_col, surface_col], as_index=False).first()[
             [id_col, surface_col, entity_col, "score"]
         ]
 
-    return candidates.groupBy(id_col).applyInPandas(resolve, out_schema)
+    n_buckets = 4 * candidates.sparkSession.sparkContext.defaultParallelism
+    bucketed = candidates.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("_bucket").applyInPandas(resolve, out_schema)
 
 
 def link_entities(
@@ -137,8 +149,14 @@ def link_entities(
     pat = gazetteer_pattern(surfaces)
     # page vector computed ONCE per page, BEFORE the explode — a page with
     # 20 candidate surfaces must not hash its full text 20x; the explode
-    # then duplicates a 16-double vector, not a UDF evaluation
-    pages_with_vec = pages_text.withColumn(
+    # then duplicates a 16-double vector, not a UDF evaluation.
+    # Balance the input first: the embedding UDF, the explode and the
+    # broadcast joins all run BELOW the groupBy exchange, so a single-row-
+    # group input would put the whole Python-side md5 pass in one task
+    # (guide §2.5 input skew; no-op for well-split production inputs).
+    from tab2neo_spark.session import ensure_min_partitions
+
+    pages_with_vec = ensure_min_partitions(pages_text).withColumn(
         "page_vec", hash_embedding_udf(dim)(F.col(text_col))
     )
     hits = pages_with_vec.select(

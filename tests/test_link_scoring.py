@@ -110,3 +110,22 @@ def test_page_vec_computed_before_explode(spark):
     # plan strings print top-down: the node executed LAST prints first, so
     # "evaluates before the explode" = ArrowEvalPython printed BELOW Generate
     assert arrow_pos > gen_pos, plan
+
+
+def test_bucketed_resolution_matches_oracle_many_pages(spark, candidate_map):
+    """The r6 bucketed applyInPandas (groups = hash buckets of url, many
+    pages per group, vectorized per-row cosine + per-(url, surface)
+    argmax) must resolve exactly like the one-group-per-page form. 300
+    pages over 4x-parallelism buckets guarantees multi-page groups by
+    pigeonhole, so the cross-page path is actually exercised."""
+    words = ["order", "table", "join", "scan", "spark", "runs"]
+    rows = [
+        (f"u{i}", " ".join(words[j % len(words)] for j in range(i, i + 4)))
+        for i in range(300)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    got = link_entities(spark, pages, candidate_map)
+    got_set = {(r["url"], r["surface"], r["entity"]) for r in got.collect()}
+    cands = [(r["surface"], r["entity"]) for r in candidate_map.collect()]
+    assert got_set == oracle_links(rows, cands)
+    assert len(got_set) == got.select("url", "surface").distinct().count()
