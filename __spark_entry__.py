@@ -975,13 +975,29 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full value-checked oracle (det_round pattern: render the tolerance
     into the output)."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
+    # countDistinct NOT mixed into the sketch aggregation: combined,
+    # Catalyst plans the whole thing keyed by (flag, partkey) first, so
+    # every HLL register array and percentile buffer is built once per
+    # distinct partkey (~hundreds of thousands of object buffers) and
+    # then merged. Split out, the exact distinct count is a cheap
+    # two-level aggregate and the sketches build once per flag group.
+    # n_parts is value-identical (countDistinct counts distinct non-null
+    # keys); the sketch outputs only feed the tolerance booleans, which
+    # exist precisely because sketch internals are not hash-stable.
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("_ad"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("_am"),
         F.expr("percentile(l_extendedprice, 0.45)").alias("_lo"),
         F.expr("percentile(l_extendedprice, 0.55)").alias("_hi"),
     )
+    nd = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    agg = sk.join(nd, "l_returnflag")
     return agg.select(
         "l_returnflag",
         "n_parts",

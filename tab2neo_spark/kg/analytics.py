@@ -60,7 +60,7 @@ def pagerank(
     )
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e_od.join(ranks, e_od["esrc"] == ranks["id"], "inner")
             .select(
@@ -69,17 +69,20 @@ def pagerank(
             )
         )
         summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
-        ranks = (
-            verts.join(summed, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = verts.join(summed, "id", "left").select(
+            "id",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # lineage cut every SECOND round: each eager localCheckpoint is a
+        # blocking job, and at bench scale those fixed job costs dominate
+        # the loop; a two-round-deep plan (two joins + one agg per round)
+        # is still trivially plannable. Values are checkpoint-invariant —
+        # the recurrence is the same polynomial either way.
+        if it % 2 == 1 and it != iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", det_round(F.col("rank"), dp).alias("rank"))
 
 

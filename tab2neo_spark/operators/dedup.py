@@ -450,6 +450,12 @@ def simhash_pairs_from_fps(
         blk = F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit((1 << w) - 1))
         blocked = blocked.withColumn(f"_blk{i}", blk)
         shift += w
+    # the fingerprint pipeline feeds BOTH sides of every block join —
+    # 2 x n_blocks identical subtrees without this persist (the repeated
+    # minhash/repeated-spans lesson: identical subtrees do not reliably
+    # collapse to a ReusedExchange). The table is docs-scale (id + a few
+    # longs), trivially cacheable at any corpus size.
+    blocked = blocked.persist()
     cand = None
     for i in range(nb):
         a = blocked.select(
@@ -460,12 +466,17 @@ def simhash_pairs_from_fps(
         )
         part = a.join(b, f"_blk{i}").select("a", "b", "fa", "fb")
         cand = part if cand is None else cand.union(part)
-    cand = cand.filter(F.col("a") < F.col("b")).distinct()
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    # verify BEFORE dedup: bit_count is one instruction per candidate
+    # row, so filtering first shrinks the distinct's shuffle to the true
+    # near pairs instead of the full multi-block candidate blowup
+    # (identical output set: the predicate is row-wise deterministic)
     return (
-        cand.withColumn("hamming", ham)
+        cand.filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )
 
 
